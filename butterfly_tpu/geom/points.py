@@ -25,14 +25,22 @@ def as_points(x, dim: int | None = None) -> np.ndarray:
 
 def pairwise_dists(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
     """All-pairs Euclidean distances, shape (len(X), len(Y))
-    (reference: bfPoints2PairwiseDists, src/points.c)."""
+    (reference: bfPoints2PairwiseDists, src/points.c).
+
+    Computed from coordinate differences (not the gram-matrix identity) so
+    coincident points give exactly 0 and near-diagonal distances keep full
+    relative accuracy — both matter for kernel diagonals and quadrature
+    corrections. Row-blocked to cap peak memory at ~32 MB.
+    """
     X, Y = as_points(X), as_points(Y)
-    d2 = (
-        np.sum(X * X, axis=1)[:, None]
-        + np.sum(Y * Y, axis=1)[None, :]
-        - 2.0 * (X @ Y.T)
-    )
-    return np.sqrt(np.maximum(d2, 0.0))
+    m, n = X.shape[0], Y.shape[0]
+    out = np.empty((m, n), dtype=np.float64)
+    block = max(1, (1 << 21) // max(n, 1))  # ~2M entries per slab
+    for i0 in range(0, m, block):
+        i1 = min(i0 + block, m)
+        diff = X[i0:i1, None, :] - Y[None, :, :]
+        np.sqrt(np.einsum("ijd,ijd->ij", diff, diff), out=out[i0:i1])
+    return out
 
 
 def insert_points_sorted(points: np.ndarray, new_points: np.ndarray) -> np.ndarray:
