@@ -1,0 +1,137 @@
+"""Flagship benchmark: butterfly-compressed operator apply on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Configuration mirrors BASELINE.json configs[1,2]: a compressed table of
+n = NB*128 rows applied to a batch of r query columns (scoring regime).
+
+value        = useful TFLOP/s of the butterfly apply (padding excluded)
+vs_baseline  = achieved_fraction_of_speed_of_light / 0.70, where the op's
+               speed-of-light per chip is min(compute-roofline, HBM-roofline)
+               for this op's flop/byte profile, both measured on THIS chip.
+               vs_baseline >= 1.0 means the BASELINE target ("bf apply at
+               >=70% of per-chip roofline") is met.
+
+Timing uses the slope method (two chained-iteration counts inside single
+jits, difference eliminates dispatch/fetch latency) because this box's TPU
+tunnel adds ~25 ms per host fetch.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def slope_time(make_rep, k1: int, k2: int, reps: int = 7) -> float:
+    """Seconds per iteration via the two-length slope method."""
+    r1, r2 = make_rep(k1), make_rep(k2)
+    for f in (r1, r2):
+        f(), f()
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter(); r1(); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); r2(); t2s.append(time.perf_counter() - t0)
+    return (np.median(t2s) - np.median(t1s)) / (k2 - k1)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from butterfly_tpu.ops.butterfly import random_butterfly
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    # ---- flagship op: NB x 128 butterfly, full depth, f32, r=256 -------
+    NB, block, r = 1024, 128, 256
+    bf = random_butterfly(NB, block, dtype=jnp.float32, key=jax.random.key(7))
+    n = bf.shape[1]
+    x = jax.random.normal(jax.random.key(3), (n, r), dtype=jnp.float32)
+    flops_per_iter = bf.flops_per_col() * r
+
+    def make_rep(K):
+        @jax.jit
+        def rep(bf, x):
+            def body(cur, _):
+                return bf.apply(cur), 0.0
+            out, _ = jax.lax.scan(body, x, None, length=K)
+            return jnp.sum(out)
+
+        return lambda: float(rep(bf, x))
+
+    t_apply = slope_time(make_rep, 4, 24)
+    tflops = flops_per_iter / t_apply / 1e12
+    log(f"butterfly apply: n={n}, r={r}, {t_apply*1e3:.3f} ms/iter, "
+        f"{tflops:.1f} TFLOP/s useful")
+
+    # ---- chip compute roofline: large dense matmul ---------------------
+    M = 4096
+    a = jax.random.normal(jax.random.key(1), (M, M), dtype=jnp.float32)
+    b = jax.random.normal(jax.random.key(2), (M, M), dtype=jnp.float32)
+
+    def make_mm(K):
+        @jax.jit
+        def rep(a, b):
+            def body(cur, _):
+                return a @ cur, 0.0
+            out, _ = jax.lax.scan(body, b, None, length=K)
+            return jnp.sum(out)
+
+        return lambda: float(rep(a, b))
+
+    t_mm = slope_time(make_mm, 4, 24)
+    peak_tflops = 2 * M**3 / t_mm / 1e12
+    log(f"dense matmul peak: {peak_tflops:.1f} TFLOP/s")
+
+    # ---- chip memory bandwidth: big saxpy ------------------------------
+    big = jax.random.normal(jax.random.key(4), (1 << 26,), dtype=jnp.float32)
+
+    def make_bw(K):
+        @jax.jit
+        def rep(v):
+            def body(cur, _):
+                return cur * 1.0000001 + 1.0, 0.0
+            out, _ = jax.lax.scan(body, v, None, length=K)
+            return jnp.sum(out)
+
+        return lambda: float(rep(big))
+
+    t_bw = slope_time(make_bw, 8, 48)
+    bw = 2 * big.nbytes / t_bw  # read + write per iter
+    log(f"HBM bandwidth (saxpy): {bw/1e9:.0f} GB/s")
+
+    # ---- op speed-of-light on this chip --------------------------------
+    # Minimum possible HBM traffic: every weight byte exactly once, the input
+    # read once and the output written once (a perfect kernel keeps
+    # inter-level activations on chip). No real schedule can beat this, so
+    # the fraction below is a true roofline fraction.
+    weight_bytes = bf.nbytes()
+    act_bytes = 2 * x.nbytes
+    t_bw_limit = (weight_bytes + act_bytes) / bw
+    t_compute_limit = flops_per_iter / (peak_tflops * 1e12)
+    t_sol = max(t_bw_limit, t_compute_limit)
+    frac_sol = t_sol / t_apply
+    log(
+        f"SoL: bw-limit {t_bw_limit*1e3:.3f} ms, compute-limit "
+        f"{t_compute_limit*1e3:.3f} ms -> achieved {frac_sol:.2f} of SoL"
+    )
+
+    result = {
+        "metric": "butterfly_apply_useful_tflops",
+        "value": round(tflops, 2),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(frac_sol / 0.70, 3),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,11 +17,11 @@ from butterfly_tpu.trees import Quadtree
 
 @pytest.fixture(scope="module")
 def problem():
-    n = 1024
+    n = 2048
     e = Ellipse(1.0, 0.7, (0.0, 0.0), 0.3)
     X, T, N, W = e.sample_linspaced(n)
-    helm = Helm2(k=40.0, layer_pot=LayerPot.SINGLE)
-    tree = Quadtree(X, leaf_size=24, normals=N)
+    helm = Helm2(k=50.0, layer_pot=LayerPot.SINGLE)
+    tree = Quadtree(X, leaf_size=32, normals=N)
     return helm, tree, X
 
 
@@ -68,6 +68,15 @@ def test_multilevel_butterfly(problem, rng):
     (reference parity: helm2_bie.c MVP rel l2 errors)."""
     helm, tree, X = problem
     A = fac_helm2.make_multilevel(helm, tree, tree)
+    # the factorization must contain actual butterflies, not just dense blocks
+    prods = []
+    def _find(o):
+        if isinstance(o, Product):
+            prods.append(o)
+        for c in o.children():
+            _find(c)
+    _find(A)
+    assert prods, "multilevel factorization degenerated to all-dense"
     P = tree.perm
     Z = helm.kernel_matrix(X, X)[np.ix_(P, P)]
     x = _rand_complex(rng, A.shape[1])
