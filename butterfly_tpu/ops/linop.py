@@ -840,3 +840,65 @@ def aslinop(x) -> LinOp:
     if isinstance(x, LinOp):
         return x
     return Dense(np.asarray(x))
+
+
+def hpad(op: LinOp, left: int, right: int) -> LinOp:
+    """Embed `op` in a wider operator with zero column blocks either side."""
+    if left == 0 and right == 0:
+        return op
+    m = op.shape[0]
+    row = []
+    if left:
+        row.append(Zero((m, left), op.dtype))
+    row.append(op)
+    if right:
+        row.append(Zero((m, right), op.dtype))
+    return BlockDense.from_row(row)
+
+
+def row_slice(op: LinOp, i0: int, i1: int) -> LinOp:
+    """Rows [i0, i1) of `op`, preserving structural sparsity where possible
+    (reference: row-range views bfMatGetRowRange + the W-sparsity
+    exploitation via GetNonzeroColumnRanges, src/fac.c:805-851).
+
+    Identity/Diag slices become zero-padded small blocks; BlockDiag and
+    column-stacked BlockDense slices select covered blocks and recurse into
+    partially covered ones. Falls back to a dense row copy.
+    """
+    m, n = op.shape
+    check(0 <= i0 <= i1 <= m, "row_slice out of range", InvalidArgumentsError)
+    if i0 == 0 and i1 == m:
+        return op
+    if isinstance(op, Identity):
+        return hpad(Identity(i1 - i0, op.dtype), i0, n - i1)
+    if isinstance(op, Diag) and op.shape[0] == op.shape[1]:
+        return hpad(Diag(op.diag[i0:i1]), i0, n - i1)
+    if isinstance(op, Zero):
+        return Zero((i1 - i0, n), op.dtype)
+    if isinstance(op, BlockDiag):
+        offs = op.row_offsets
+        k0 = int(np.searchsorted(offs, i0, side="right") - 1)
+        k1 = int(np.searchsorted(offs, i1, side="left"))
+        parts = []
+        for k in range(k0, k1):
+            a = max(i0, int(offs[k])) - int(offs[k])
+            b = min(i1, int(offs[k + 1])) - int(offs[k])
+            parts.append(row_slice(op.blocks[k], a, b))
+        body = BlockDiag(parts) if len(parts) > 1 else parts[0]
+        left = int(op.col_offsets[k0])
+        right = n - int(op.col_offsets[k1])
+        return hpad(body, left, right)
+    if isinstance(op, BlockDense) and len(op.grid[0]) == 1:
+        # column stack: slice across the stacked blocks
+        offs = op.row_offsets
+        k0 = int(np.searchsorted(offs, i0, side="right") - 1)
+        k1 = int(np.searchsorted(offs, i1, side="left"))
+        parts = []
+        for k in range(k0, k1):
+            a = max(i0, int(offs[k])) - int(offs[k])
+            b = min(i1, int(offs[k + 1])) - int(offs[k])
+            parts.append(row_slice(op.grid[k][0], a, b))
+        return BlockDense.from_col(parts) if len(parts) > 1 else parts[0]
+    if isinstance(op, Dense):
+        return Dense(op.data[i0:i1])
+    return Dense(op.materialize()[i0:i1])
