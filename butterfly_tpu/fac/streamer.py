@@ -299,8 +299,13 @@ class FacStreamer:
     automatically whenever all children of an internal column node are done.
     """
 
-    def __init__(self, spec: FacSpec):
+    def __init__(self, spec: FacSpec, auto_skip_empty_leaves: bool = True):
+        """auto_skip_empty_leaves=False supports DEFERRED column trees (the
+        LBO interval tree, whose leaf point counts only materialize as
+        eigenbands are attached): every leaf must then be fed explicitly, an
+        empty band as a 0-column block."""
         self.spec = spec
+        self.auto_skip_empty = auto_skip_empty_leaves
         self._order = [n for n in spec.col_tree.post_order()]
         self._pos = 0
         self._stack: list[PartialFac] = []
@@ -312,7 +317,7 @@ class FacStreamer:
         (reference: continueFactorizing, src/fac_streamer.c:303-363)."""
         while self._pos < len(self._order):
             node = self._order[self._pos]
-            if node.is_leaf and node.num_points > 0:
+            if node.is_leaf and (node.num_points > 0 or not self.auto_skip_empty):
                 return  # wait for the next feed
             if node.is_leaf:
                 self._pos += 1
@@ -366,7 +371,8 @@ class FacStreamer:
         )
         if self.spec.compare_relative_errors:
             self._dense_blocks.append(Phi.copy())
-        self._stack.append(_leaf_fac(self.spec, node, Phi))
+        if Phi.shape[1] > 0:
+            self._stack.append(_leaf_fac(self.spec, node, Phi))
         self._pos += 1
         self._advance_past_internal()
 

@@ -179,16 +179,37 @@ def get_shifted_eigs(L, M, sigma: float, k: int):
     return vals[order], vecs[:, order]
 
 
-def _covering_probe(L, M, sigma: float, k: int):
-    """One COVERING probe: eigenpairs around sigma plus the certified covered
-    bracket (reference: getPairsCoveringInterval, src/linalg.c:818-899 — take
-    k+2 eigs, certify the midpoint-bracketed inner k)."""
-    vals, vecs = get_shifted_eigs(L, M, sigma, k + 2)
-    # certified interval: between the outermost pairs we KNOW no eigenvalue
-    # was missed inside (midpoint bracket)
-    lo = 0.5 * (vals[0] + vals[1])
-    hi = 0.5 * (vals[-2] + vals[-1])
-    keep = (vals > lo) & (vals < hi)
+def _cluster_edges(vals: np.ndarray) -> np.ndarray:
+    """Indices where a new distinct eigenvalue cluster starts."""
+    if vals.size == 0:
+        return np.empty(0, dtype=np.int64)
+    tol = 1e-9 * max(1.0, np.abs(vals).max())
+    return np.concatenate([[0], np.flatnonzero(np.diff(vals) > tol) + 1])
+
+
+def _covering_probe(L, M, sigma: float, k: int, n: int):
+    """One COVERING probe: eigenpairs around sigma plus a certified covered
+    bracket (reference: getPairsCoveringInterval, src/linalg.c:818-899).
+
+    The certified interval's endpoints are placed strictly BETWEEN distinct
+    eigenvalue clusters so multiplets are never split between probes; the
+    outermost clusters are discarded (they may be incomplete)."""
+    kk = k + 2
+    while True:
+        kk = min(kk, n - 2)
+        vals, vecs = get_shifted_eigs(L, M, sigma, kk)
+        starts = _cluster_edges(vals)
+        if starts.size >= 3 or kk >= n - 2:
+            break
+        kk *= 2
+    if starts.size < 3:
+        # whole reachable spectrum is (at most) two clusters: certify all
+        return vals, vecs, (-np.inf, np.inf)
+    c0_end = starts[1]  # first kept index
+    cm_start = starts[-1]  # first discarded index
+    lo = 0.5 * (vals[c0_end - 1] + vals[c0_end])
+    hi = 0.5 * (vals[cm_start - 1] + vals[cm_start])
+    keep = slice(c0_end, cm_start)
     return vals[keep], vecs[:, keep], (float(lo), float(hi))
 
 
@@ -214,9 +235,14 @@ def get_eigenband(L, M, lam0: float, lam1: float, method: str = "covering",
     # probe alone cannot certify that nothing lies further out.
     if not np.isfinite(lam0):
         Ls, Ms = _as_sparse(L), _as_sparse(M)
+        # shift-invert just below the spectrum: (L - sigma M) is definite for
+        # sigma < lam_min, so this is robust even for singular L (lam_min=0),
+        # where plain Lanczos which='SA' can silently miss the kernel.
+        scale = abs(Ls.diagonal()).sum() / max(abs(Ms.diagonal()).sum(), 1e-300)
+        sigma_probe = -1e-6 * max(scale, 1e-300)
         lam_min = float(
-            spla.eigsh(Ls, k=1, M=Ms, which="SA", return_eigenvectors=False,
-                       tol=1e-9, maxiter=50 * n)[0]
+            spla.eigsh(Ls, k=1, M=Ms, sigma=sigma_probe, which="LM",
+                       return_eigenvectors=False)[0]
         )
         lam0 = lam_min - max(1e-8, 1e-8 * abs(lam_min))
     if not np.isfinite(lam1):
@@ -257,15 +283,21 @@ def get_eigenband(L, M, lam0: float, lam1: float, method: str = "covering",
     # worklist of disjoint uncovered intervals (reference: disjoint interval
     # list, src/disjoint_interval_list.c)
     work = [(lam0, lam1)]
+    guard = 0
     while work:
+        guard += 1
+        check(guard <= 1000, "eigenband covering failed to converge")
         a, b = work.pop()
         sigma = 0.5 * (a + b)
-        vals, vecs, (lo, hi) = _covering_probe(L, M, sigma, k_init)
-        if hi <= lo or (lo >= b or hi <= a):
-            # probe certified nothing inside; retry with a bigger k
-            vals, vecs = get_shifted_eigs(L, M, sigma, min(4 * k_init, n - 2))
-            lo, hi = a, b
-        keep = (vals >= a) & (vals < b)
+        vals, vecs, (lo, hi) = _covering_probe(L, M, sigma, k_init, n)
+        if lo >= b or hi <= a:
+            # certified interval fell outside the work interval: nothing in
+            # (a, b) near sigma was certified — enlarge the probe instead of
+            # looping forever
+            vals, vecs, (lo, hi) = _covering_probe(L, M, sigma, 4 * k_init, n)
+            if lo >= b or hi <= a:
+                lo, hi = a, b  # accept what we have for this interval
+        keep = (vals >= a) & (vals < b) & (vals >= lo) & (vals < hi)
         all_vals.append(vals[keep])
         all_vecs.append(vecs[:, keep])
         if lo > a:
@@ -278,12 +310,4 @@ def get_eigenband(L, M, lam0: float, lam1: float, method: str = "covering",
     vals = np.concatenate(all_vals)
     vecs = np.concatenate(all_vecs, axis=1) if all_vecs else np.zeros((n, 0))
     order = np.argsort(vals)
-    vals, vecs = vals[order], vecs[:, order]
-    # dedupe eigenvalues found by overlapping probes
-    keep = np.ones(vals.size, dtype=bool)
-    for i in range(1, vals.size):
-        if abs(vals[i] - vals[i - 1]) <= 1e-10 * max(1.0, abs(vals[i])):
-            # same eigenvalue if the vectors are parallel
-            if abs(np.vdot(vecs[:, i], vecs[:, i - 1])) > 0.99:
-                keep[i] = False
-    return vals[keep], vecs[:, keep]
+    return vals[order], vecs[:, order]

@@ -1,0 +1,118 @@
+"""Trimesh/FEM, Fiedler tree, and the streaming LBO compression pipeline.
+
+Golden-test parity with the reference (tests/test_linalg.c:18-77): FEM LBO
+eigenpairs on a sphere mesh compared against a dense ground truth.
+"""
+
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+from butterfly_tpu.geom.trimesh import Trimesh, icosphere
+from butterfly_tpu.models.lbo import compress_lbo_eigenfunctions, lbo_eigs_to_freqs
+from butterfly_tpu.ops.linalg import get_eigenband
+from butterfly_tpu.trees.fiedler_tree import FiedlerTree
+
+
+@pytest.fixture(scope="module")
+def sphere():
+    return icosphere(2)  # 162 vertices
+
+
+def test_icosphere_topology(sphere):
+    assert sphere.num_verts == 162
+    # closed surface: no boundary, Euler characteristic 2
+    assert len(sphere.boundary_verts()) == 0
+    ne = len(sphere.edges())
+    assert sphere.num_verts - ne + sphere.num_faces == 2
+
+
+def test_lbo_fem_properties(sphere):
+    L, M = sphere.lbo_fem()
+    # symmetry
+    assert abs(L - L.T).max() < 1e-12
+    assert abs(M - M.T).max() < 1e-12
+    # L annihilates constants; M integrates to the surface area
+    ones = np.ones(sphere.num_verts)
+    assert np.abs(L @ ones).max() < 1e-12
+    area = sphere.face_areas().sum()
+    np.testing.assert_allclose(ones @ (M @ ones), area, rtol=1e-12)
+    # M is positive definite
+    assert np.linalg.eigvalsh(M.toarray()).min() > 0
+
+
+def test_sphere_spectrum_golden(sphere):
+    """LBO eigenvalues of the sphere approximate l(l+1) with multiplicity
+    2l+1 — and the banded solver must match a dense generalized eigensolve
+    exactly (the reference's golden-file test, tests/test_linalg.c)."""
+    L, M = sphere.lbo_fem()
+    dense_vals = np.sort(sla.eigh(L.toarray(), M.toarray(), eigvals_only=True))
+    # interior band via the covering strategy
+    lam0, lam1 = float(dense_vals[3]) - 0.5, float(dense_vals[12]) + 0.1
+    vals, vecs = get_eigenband(L, M, lam0, lam1, method="covering")
+    want = dense_vals[(dense_vals >= lam0) & (dense_vals < lam1)]
+    np.testing.assert_allclose(vals, want, rtol=1e-10)
+    # analytic check: first nonzero eigenvalue ~ l(l+1) = 2 for the sphere
+    np.testing.assert_allclose(dense_vals[1:4], 2.0, rtol=0.05)
+    np.testing.assert_allclose(lbo_eigs_to_freqs(np.array([4.0])), [2.0])
+
+
+def test_fiedler_vector_bisects(sphere):
+    phi = sphere.fiedler_vector()
+    assert phi.shape == (sphere.num_verts,)
+    # a first eigenfunction splits the sphere into two comparable halves
+    frac = np.mean(phi > 0)
+    assert 0.25 < frac < 0.75
+
+
+def test_fiedler_tree(sphere):
+    tree = FiedlerTree(sphere, leaf_size=16)
+    assert tree.num_points == sphere.num_verts
+    assert sorted(tree.perm.tolist()) == list(range(sphere.num_verts))
+    for node in tree.root.subtree_nodes():
+        if not node.is_leaf:
+            assert node.children[0].i0 == node.i0
+            assert node.children[-1].i1 == node.i1
+        else:
+            assert node.num_points <= 16 or node.depth == 32
+
+
+def test_submesh(sphere):
+    mask = sphere.verts[:, 2] > 0
+    sub, old_idx = sphere.submesh(mask)
+    assert sub.num_verts == mask.sum()
+    np.testing.assert_allclose(sub.verts, sphere.verts[old_idx])
+    assert sub.num_faces > 0
+    # open cap has a boundary now
+    assert len(sub.boundary_verts()) > 0
+
+
+def test_obj_roundtrip(tmp_path, sphere):
+    p = str(tmp_path / "m.obj")
+    sphere.save_obj(p)
+    back = Trimesh.from_obj(p)
+    np.testing.assert_allclose(back.verts, sphere.verts)
+    np.testing.assert_array_equal(back.faces, sphere.faces)
+
+
+def test_lbo_streaming_compression(sphere):
+    """End-to-end bf_lbo parity: compress the full eigenvector matrix and
+    compare against the dense eigensolve."""
+    L, M = sphere.lbo_fem()
+    comp = compress_lbo_eigenfunctions(sphere, tol=1e-8, col_tree_depth=2)
+    n = sphere.num_verts
+    assert comp.freqs.size == n, "all eigenpairs must be found exactly once"
+    assert np.all(np.diff(comp.freqs) >= -1e-9)
+
+    # reconstruct and compare column space: each reconstructed column must
+    # be an eigenvector with the matching eigenvalue
+    Phi = comp.fac.as_linop().materialize()
+    assert Phi.shape == (n, n)
+    lam = comp.freqs**2
+    P = comp.row_tree.perm
+    Phi_orig = np.empty_like(Phi)
+    Phi_orig[P] = Phi  # back to original vertex order
+    R = L.toarray() @ Phi_orig - (M.toarray() @ Phi_orig) * lam[None, :]
+    rel = np.abs(R).max() / np.abs(L.toarray() @ Phi_orig).max()
+    assert rel < 1e-5, f"residual rel err {rel:.3e}"
+    assert comp.compression_rate > 0.1  # small mesh: no win expected yet
