@@ -160,12 +160,21 @@ def _as_sparse(A) -> sp.spmatrix:
     return sp.csc_matrix(np.asarray(A))
 
 
+def _v0(n: int) -> np.ndarray:
+    """Deterministic Lanczos start vector: ARPACK otherwise seeds from the
+    global legacy RNG, making eigensolves depend on unrelated code having
+    drawn random numbers (observed as test-order-dependent eigenband
+    results)."""
+    return np.random.default_rng(0x5EED).standard_normal(n)
+
+
 def get_max_eigenvalue(L, M) -> float:
     """Largest eigenvalue of the generalized problem L x = lam M x
     (reference: bfGetMaxEigenvalue, src/linalg.c:328-470)."""
     Ls, Ms = _as_sparse(L), _as_sparse(M)
     vals = spla.eigsh(
-        Ls, k=1, M=Ms, which="LA", return_eigenvectors=False, tol=1e-9
+        Ls, k=1, M=Ms, which="LA", return_eigenvectors=False, tol=1e-9,
+        v0=_v0(Ls.shape[0]),
     )
     return float(vals[0])
 
@@ -174,7 +183,8 @@ def get_shifted_eigs(L, M, sigma: float, k: int):
     """k eigenpairs of (L, M) nearest `sigma` via shift-invert Lanczos,
     sorted ascending (reference: bfGetShiftedEigs, src/linalg.c:472-746)."""
     Ls, Ms = _as_sparse(L), _as_sparse(M)
-    vals, vecs = spla.eigsh(Ls, k=k, M=Ms, sigma=sigma, which="LM")
+    vals, vecs = spla.eigsh(Ls, k=k, M=Ms, sigma=sigma, which="LM",
+                            v0=_v0(Ls.shape[0]))
     order = np.argsort(vals)
     return vals[order], vecs[:, order]
 
@@ -242,7 +252,7 @@ def get_eigenband(L, M, lam0: float, lam1: float, method: str = "covering",
         sigma_probe = -1e-6 * max(scale, 1e-300)
         lam_min = float(
             spla.eigsh(Ls, k=1, M=Ms, sigma=sigma_probe, which="LM",
-                       return_eigenvectors=False)[0]
+                       return_eigenvectors=False, v0=_v0(Ls.shape[0]))[0]
         )
         lam0 = lam_min - max(1e-8, 1e-8 * abs(lam_min))
     if not np.isfinite(lam1):

@@ -55,7 +55,8 @@ class PointTree(Tree):
     """
 
     def __init__(self, points: np.ndarray, leaf_size: int = 1,
-                 max_depth: int = 64, normals: np.ndarray | None = None):
+                 max_depth: int = 64, normals: np.ndarray | None = None,
+                 use_native: bool = True):
         points = np.asarray(points, dtype=np.float64)
         check(points.ndim == 2, "points must be (n, d)", InvalidArgumentsError)
         n, d = points.shape
@@ -69,6 +70,12 @@ class PointTree(Tree):
         self.normals = normals
         self.leaf_size = int(leaf_size)
 
+        if use_native:
+            built = self._try_native(points, max_depth)
+            if built is not None:
+                super().__init__(built[0], built[1])
+                return
+
         # Root box is the bounding box rescaled to a cube
         # (reference: bfQuadtreeNodeInitRoot, src/quadtree_node.c:283-305).
         bbox = Bbox.of_points(points).rescale_to_cube()
@@ -76,6 +83,30 @@ class PointTree(Tree):
         root = PointTreeNode(None, 0, 0, n, bbox)
         self._build(root, perm, max_depth)
         super().__init__(root, perm)
+
+    def _try_native(self, points, max_depth):
+        """Build through the native C++ treekit when available
+        (native/treekit.cpp via butterfly_tpu/trees/native.py)."""
+        from butterfly_tpu.trees.native import build_point_tree_native
+
+        out = build_point_tree_native(points, self.leaf_size, max_depth)
+        if out is None:
+            return None
+        perm, tab = out
+        d = points.shape[1]
+        nodes: list[PointTreeNode] = []
+        for k in range(len(tab["i0"])):
+            bbox = Bbox(tab["lo"][k, :d].copy(), tab["hi"][k, :d].copy())
+            parent = nodes[tab["parent"][k]] if tab["parent"][k] >= 0 else None
+            node = PointTreeNode(
+                parent, int(tab["depth"][k]), int(tab["i0"][k]),
+                int(tab["i1"][k]), bbox,
+            )
+            node.index = int(tab["octant"][k]) if tab["octant"][k] >= 0 else 0
+            if parent is not None:
+                parent.children.append(node)
+            nodes.append(node)
+        return (nodes[0], perm)
 
     def _build(self, node: PointTreeNode, perm: np.ndarray, max_depth: int) -> None:
         """Recursive octant partition of perm[i0:i1]
