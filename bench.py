@@ -67,10 +67,44 @@ def main() -> None:
 
         return lambda: float(rep(bf, x))
 
-    t_apply = slope_time(make_rep, 4, 24)
+    t_einsum = slope_time(make_rep, 4, 24)
+    log(f"butterfly apply (einsum): {t_einsum*1e3:.3f} ms/iter")
+
+    # fused multi-level Pallas kernel (ops/pallas_butterfly.py): fewer HBM
+    # round trips of the activations; take the faster of the two paths.
+    t_apply = t_einsum
+    path = "einsum"
+    try:
+        import functools
+
+        from butterfly_tpu.ops.pallas_butterfly import (
+            FusedButterflyPlan,
+            _apply_fused,
+        )
+
+        plan = FusedButterflyPlan(bf, fuse=3, r_tile=256, interpret=False)
+        fn = functools.partial(_apply_fused, plan._meta)
+
+        def make_rep_pallas(K):
+            @jax.jit
+            def rep(params, x):
+                def body(cur, _):
+                    return fn(params, cur), 0.0
+                out, _ = jax.lax.scan(body, x, None, length=K)
+                return jnp.sum(out)
+
+            return lambda: float(rep(plan._params, x))
+
+        t_pallas = slope_time(make_rep_pallas, 4, 24)
+        log(f"butterfly apply (pallas fuse=3): {t_pallas*1e3:.3f} ms/iter")
+        if t_pallas < t_apply:
+            t_apply, path = t_pallas, "pallas"
+    except Exception as e:  # pallas unavailable on this backend/toolchain
+        log(f"pallas path skipped: {type(e).__name__}: {str(e)[:120]}")
+
     tflops = flops_per_iter / t_apply / 1e12
-    log(f"butterfly apply: n={n}, r={r}, {t_apply*1e3:.3f} ms/iter, "
-        f"{tflops:.1f} TFLOP/s useful")
+    log(f"butterfly apply: n={n}, r={r}, path={path}, "
+        f"{t_apply*1e3:.3f} ms/iter, {tflops:.1f} TFLOP/s useful")
 
     # ---- chip compute roofline: large dense matmul ---------------------
     M = 4096

@@ -114,6 +114,22 @@ class Trimesh:
         n = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
         return 0.5 * np.linalg.norm(n, axis=1)
 
+    def face_centroids(self) -> np.ndarray:
+        """(F, 3) face centroids (reference:
+        bfTrimeshGetFaceCentroidConstPtr, used by the view-factor midpoint
+        rule src/mat_csr_real.c:388-389)."""
+        return self.verts[self.faces].mean(axis=1)
+
+    def face_normals(self) -> np.ndarray:
+        """(F, 3) unit face normals with winding orientation (reference:
+        bfTrimeshGetFaceUnitNormalConstPtr; orientation matching
+        bfTrimeshComputeFaceNormalsMatchingVertexNormals,
+        examples/radiosity/radiosity.c:15-16)."""
+        p = self.verts[self.faces]
+        n = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        norm = np.linalg.norm(n, axis=1, keepdims=True)
+        return n / np.maximum(norm, 1e-300)
+
     def submesh(self, vert_mask: np.ndarray) -> tuple["Trimesh", np.ndarray]:
         """Induced submesh on masked vertices: keeps faces whose three
         vertices are all selected. Returns (mesh, old_vertex_indices).

@@ -1,0 +1,313 @@
+"""Fused multi-level butterfly apply: a Pallas TPU kernel.
+
+Why this kernel exists
+----------------------
+The einsum path (ops/butterfly.py, UniformButterfly.apply) emits one
+dot_general per butterfly level. XLA keeps each level's GEMMs on the MXU, but
+the activation tensor makes a full HBM round trip per level: for a depth-L
+butterfly the traffic is  weights + 2·L·activations.  The speed of light is
+weights + 2·activations (read the input once, write the output once, keep
+everything else in VMEM) — this is the roofline bench.py measures against.
+
+This kernel closes most of that gap by fusing `fuse` consecutive levels into
+ONE pass over HBM. A pass over levels [l0, l0+k) partitions the NB block rows
+into groups of R^k blocks that mix only among themselves across those k
+levels (the blocks whose indices differ in base-R digits l0..l0+k-1 — the
+butterfly pattern, reference: block index structure of the MatBlockCoo
+factors, src/fac_helm2.c:309-312 and src/fac.c:835). Each Pallas program:
+
+  1. DMAs one group's activation tile (R^k·blk × r_tile) HBM -> VMEM,
+  2. applies the k levels back-to-back as MXU dot_generals entirely in VMEM,
+  3. DMAs the result back.
+
+Activation traffic drops from 2·L to 2·ceil(L/k) HBM round trips while the
+weight traffic stays exactly one read per weight byte. The block-diagonal
+leaf factor is fused into the first pass for free (it is digit-local).
+
+Grid order is (group, low, r_tile) with the r_tile axis innermost: Pallas
+skips re-fetching an input block when its index map output is unchanged
+between consecutive grid steps, so the (1/loG/r-invariant) weight blocks are
+DMA'd once per group instead of once per grid cell.
+
+Weight layout: at plan-build time each level's (hi, R, R, lo, m, k) tensor is
+re-arranged (once, on device) into a per-pass layout
+(hiG, loG, R^{k-1-t}, R^t, R·blk, R·blk) whose trailing 2D matrices fuse the
+radix mixing into one MXU matmul of contraction length R·blk — the BlockSpec
+index maps carry the whole butterfly exchange and the kernel body sees only
+dense static-shape 2D tiles (Mosaic lowers rank<=2 contractions to the MXU).
+
+Everything here is static-shape, f32/bf16-accumulate-f32, and falls back to
+the einsum path for cases the kernel does not cover (complex dtypes, ragged
+ranks, tiny problems).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from butterfly_tpu.utils.errors import InvalidArgumentsError, check
+
+__all__ = ["FusedButterflyPlan", "fused_apply"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class _PassMeta:
+    """Static topology of one fused pass (hashable; closed over by jit)."""
+
+    k: int          # number of levels fused in this pass
+    hiG: int        # NB / R^(l0+k)
+    loG: int        # R^l0
+    blk: int        # uniform block size (m == k for every level)
+    has_leaf: bool  # pass 0 also applies the block-diagonal leaf factor
+
+
+@dataclasses.dataclass(frozen=True)
+class _PlanMeta:
+    NB: int
+    R: int
+    blk: int
+    r_tile: int
+    passes: tuple  # tuple[_PassMeta, ...]
+    interpret: bool
+    act_dtype: object
+
+
+def _pass_kernel(meta: _PassMeta, R: int, r_tile: int, *refs):
+    """Kernel body: apply `meta.k` butterfly levels to one group tile.
+
+    The group's R^k activation blocks live as a static list of 2D (blk,
+    r_tile) register tiles; every level is a statically-unrolled set of plain
+    2D matmuls (Mosaic lowers only rank<=2 contractions to the MXU), with the
+    butterfly mixing expressed as concatenate-along-sublanes + static slices.
+    """
+    x_ref, w_refs, o_ref = refs[0], refs[1:-1], refs[-1]
+    Rk = R**meta.k
+    blk = meta.blk
+    dt = o_ref.dtype
+    tiles = [x_ref[0, g, 0, :, :] for g in range(Rk)]
+    wi = 0
+    if meta.has_leaf:
+        for g in range(Rk):
+            tiles[g] = jnp.dot(
+                w_refs[0][0, 0, g], tiles[g],
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+        wi = 1
+    for t in range(meta.k):
+        U, V = R ** (meta.k - 1 - t), R**t
+        W = w_refs[wi + t]  # (1, 1, U, V, R*blk, R*blk)
+        new = [None] * Rk
+        for u in range(U):
+            for v in range(V):
+                a_in = jnp.concatenate(
+                    [tiles[(u * R + d) * V + v] for d in range(R)], axis=0
+                )  # (R*blk, r_tile)
+                y = jnp.dot(
+                    W[0, 0, u, v], a_in, preferred_element_type=jnp.float32
+                ).astype(dt)  # rows = (c, m)
+                for c in range(R):
+                    new[(u * R + c) * V + v] = y[c * blk:(c + 1) * blk, :]
+        tiles = new
+    for g in range(Rk):
+        o_ref[0, g, 0, :, :] = tiles[g]
+
+
+def _make_pass_call(meta: _PassMeta, R: int, r_tile: int, r_pad: int,
+                    act_dtype, interpret: bool):
+    """Build the pallas_call for one fused pass."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Rk = R**meta.k
+    blk = meta.blk
+    grid = (meta.hiG, meta.loG, r_pad // r_tile)
+
+    act_spec = pl.BlockSpec(
+        (1, Rk, 1, blk, r_tile),
+        lambda a, c, j: (a, 0, c, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    w_specs = []
+    if meta.has_leaf:
+        w_specs.append(
+            pl.BlockSpec(
+                (1, 1, Rk, blk, blk),
+                lambda a, c, j: (a, c, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    for t in range(meta.k):
+        U, V = R ** (meta.k - 1 - t), R**t
+        w_specs.append(
+            pl.BlockSpec(
+                (1, 1, U, V, R * blk, R * blk),
+                lambda a, c, j: (a, c, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    flops = (
+        2 * meta.hiG * meta.loG * Rk * blk * blk * r_pad
+        * (meta.k * R + (1 if meta.has_leaf else 0))
+    )
+    weight_elems = meta.hiG * meta.loG * Rk * blk * blk * (
+        meta.k * R + (1 if meta.has_leaf else 0)
+    )
+    act_elems = meta.hiG * Rk * meta.loG * blk * r_pad
+
+    kernel = functools.partial(_pass_kernel, meta, R, r_tile)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[act_spec] + w_specs,
+        out_specs=act_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (meta.hiG, Rk, meta.loG, blk, r_pad), act_dtype
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (weight_elems + 2 * act_elems),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+
+def _apply_fused(meta: _PlanMeta, params, x):
+    """Jit target: params = (leafp or None, [[Wp_t ...] per pass]), x (n, r)."""
+    leafp, pass_weights = params
+    n, r = x.shape
+    r_pad = _round_up(max(r, 128), meta.r_tile)
+    if r_pad != r:
+        x = jnp.pad(x, ((0, 0), (0, r_pad - r)))
+    cur = x.astype(meta.act_dtype)
+    for p, pm in enumerate(meta.passes):
+        Rk = meta.R**pm.k
+        cur = cur.reshape(pm.hiG, Rk, pm.loG, meta.blk, r_pad)
+        ws = list(pass_weights[p])
+        if pm.has_leaf:
+            ws = [leafp] + ws
+        call = _make_pass_call(
+            pm, meta.R, meta.r_tile, r_pad, meta.act_dtype, meta.interpret
+        )
+        cur = call(cur, *ws)
+    out = cur.reshape(n, r_pad)
+    return out[:, :r]
+
+
+class FusedButterflyPlan:
+    """Executable fused-pass form of a UniformButterfly.
+
+    Requires uniform ranks (every level m == k == leaf block size) and a real
+    dtype — the flagship compressed-table format. Use
+    `UniformButterfly.apply` for anything else.
+    """
+
+    def __init__(self, bf, fuse: int = 3, r_tile: int = 256,
+                 interpret: bool | None = None):
+        R = bf.radix
+        blk = bf.k_in
+        check(bf.m_out == blk, "fused plan requires uniform ranks",
+              InvalidArgumentsError)
+        for W in bf.levels:
+            check(W.shape[4] == blk and W.shape[5] == blk,
+                  "fused plan requires uniform ranks", InvalidArgumentsError)
+        if bf.leaf is not None:
+            check(bf.leaf.shape[1] == blk and bf.leaf.shape[2] == blk,
+                  "fused plan requires uniform leaf", InvalidArgumentsError)
+        check(not np.issubdtype(np.dtype(bf.levels[0].dtype),
+                                np.complexfloating),
+              "fused plan is real-only", InvalidArgumentsError)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+
+        Lv = bf.num_levels
+        max_k = int(round(math.log(bf.NB, R)))
+        fuse = max(1, min(fuse, Lv, max_k))
+        # pass sizes: greedy chunks of `fuse` levels
+        sizes = []
+        rem = Lv
+        while rem > 0:
+            sizes.append(min(fuse, rem))
+            rem -= sizes[-1]
+
+        act_dtype = jnp.float32
+        passes = []
+        pass_weights = []
+        l0 = 0
+        for p, k in enumerate(sizes):
+            hiG = bf.NB // R ** (l0 + k)
+            loG = R**l0
+            ws = []
+            for t in range(k):
+                l = l0 + t
+                W = jnp.asarray(bf.levels[l])  # (hi, R, R, lo, blk, blk)
+                U, V = R ** (k - 1 - t), R**t
+                # (hiG*U, R, R, V*loG, m, n)
+                #   -> (hiG, loG, U, V, (c, m), (d, n)) fused 2D mixing mats
+                # (device-side transpose: avoids a host round trip of the
+                # full weight set at plan-build time)
+                Wr = W.reshape(hiG, U, R, R, V, loG, blk, blk)
+                Wp = jnp.transpose(Wr, (0, 5, 1, 4, 2, 6, 3, 7)).reshape(
+                    hiG, loG, U, V, R * blk, R * blk
+                )
+                ws.append(jax.block_until_ready(Wp))
+            passes.append(
+                _PassMeta(k=k, hiG=hiG, loG=loG, blk=blk,
+                          has_leaf=(p == 0 and bf.leaf is not None))
+            )
+            pass_weights.append(ws)
+            l0 += k
+
+        leafp = None
+        if bf.leaf is not None:
+            Rk0 = R ** sizes[0]
+            hiG0, loG0 = bf.NB // Rk0, 1
+            leafn = jnp.asarray(bf.leaf).reshape(hiG0, Rk0, loG0, blk, blk)
+            leafp = jax.block_until_ready(
+                jnp.transpose(leafn, (0, 2, 1, 3, 4))
+            )
+
+        self.NB, self.radix, self.blk = bf.NB, R, blk
+        self.shape = bf.shape
+        self.num_passes = len(sizes)
+        self._params = (leafp, pass_weights)
+        meta = _PlanMeta(
+            NB=bf.NB, R=R, blk=blk, r_tile=r_tile, passes=tuple(passes),
+            interpret=interpret, act_dtype=act_dtype,
+        )
+        self._meta = meta
+        self._apply_jit = jax.jit(functools.partial(_apply_fused, meta))
+
+    def apply(self, x):
+        """Apply to (n,) or (n, r)."""
+        x = jnp.asarray(x)
+        was_vec = x.ndim == 1
+        if was_vec:
+            x = x[:, None]
+        y = self._apply_jit(self._params, x)
+        return y[:, 0] if was_vec else y
+
+    def __call__(self, x):
+        return self.apply(x)
+
+    def nbytes(self) -> int:
+        leafp, pws = self._params
+        total = 0 if leafp is None else leafp.nbytes
+        return total + sum(w.nbytes for ws in pws for w in ws)
+
+
+def fused_apply(bf, x, fuse: int = 3, r_tile: int = 256):
+    """One-shot fused apply (builds and caches nothing; prefer the plan)."""
+    return FusedButterflyPlan(bf, fuse=fuse, r_tile=r_tile).apply(x)

@@ -10,7 +10,12 @@ Usage: python examples/bf_lbo.py [--subdiv 3] [--tol 1e-6] [--fiedler]
 """
 
 import argparse
+import os
+import sys
+
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

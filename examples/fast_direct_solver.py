@@ -8,9 +8,14 @@ Usage: python examples/fast_direct_solver.py [--n 2048] [--k 25]
 """
 
 import argparse
+import os
+import sys
+
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -10,9 +10,14 @@ Usage: python examples/helm2_bie.py [--n 2048] [--k 40]
 """
 
 import argparse
+import os
+import sys
+
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

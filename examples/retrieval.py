@@ -8,9 +8,14 @@ Usage: python examples/retrieval.py [--n 131072] [--d 128] [--rank 32]
 """
 
 import argparse
+import os
+import sys
+
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
