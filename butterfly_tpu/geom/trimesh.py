@@ -130,6 +130,109 @@ class Trimesh:
         norm = np.linalg.norm(n, axis=1, keepdims=True)
         return n / np.maximum(norm, 1e-300)
 
+    def level_set_submesh(
+        self, phi: np.ndarray, tol: float = 1e-12
+    ) -> tuple["Trimesh", np.ndarray]:
+        """Exact submesh of the region {phi <= 0}, splitting cut faces at
+        the zero level set.
+
+        Reference: bfTrimeshGetLevelSetSubmesh
+        (src/trimesh.get_level_set_submesh.c:821-...): contained faces are
+        kept whole (addContainedFaces :198-229), faces the level set crosses
+        are split at linearly-interpolated cut vertices on their edges
+        (appendCutVertex :310-343; the 2-1 / 1-2 sign patterns
+        addCutFacesAndVerts_case21/_case12 :345-534, on-vertex crossings
+        handled by snapping |phi| <= tol to zero, the analogue of case111
+        :552-700), and isolated vertices are dropped
+        (eliminateIsolatedVerts :736-775).
+
+        Returns (submesh, orig_ids) where orig_ids[k] is the original index
+        of submesh vertex k, or -1 for a cut vertex created on an edge.
+        """
+        phi = np.asarray(phi, dtype=np.float64).copy()
+        check(phi.shape == (self.num_verts,), "phi must be per-vertex")
+        phi[np.abs(phi) <= tol] = 0.0
+
+        new_verts: list[np.ndarray] = []
+        orig_ids: list[int] = []
+        vmap: dict[int, int] = {}  # original vert -> new index
+        cut_cache: dict[tuple[int, int], int] = {}  # edge -> new cut index
+        faces: list[tuple[int, int, int]] = []
+
+        def keep_vert(i: int) -> int:
+            j = vmap.get(i)
+            if j is None:
+                j = len(new_verts)
+                vmap[i] = j
+                new_verts.append(self.verts[i])
+                orig_ids.append(i)
+            return j
+
+        def cut_vert(i0: int, i1: int) -> int:
+            key = (i0, i1) if i0 < i1 else (i1, i0)
+            j = cut_cache.get(key)
+            if j is None:
+                t = phi[i0] / (phi[i0] - phi[i1])
+                v = (1 - t) * self.verts[i0] + t * self.verts[i1]
+                j = len(new_verts)
+                cut_cache[key] = j
+                new_verts.append(v)
+                orig_ids.append(-1)
+            return j
+
+        for f in self.faces:
+            s = phi[f]
+            inside = s <= 0.0
+            n_in = int(inside.sum())
+            if n_in == 0:
+                continue
+            if n_in == 3:
+                faces.append(tuple(keep_vert(i) for i in f))
+                continue
+            # rotate (winding-preserving) to the canonical sign pattern:
+            # n_in==1 -> inside vertex first; n_in==2 -> outside vertex last
+            for rot in range(3):
+                fr = np.roll(f, -rot)
+                sr = phi[fr] <= 0.0
+                if (n_in == 1 and sr[0] and not sr[1] and not sr[2]) or (
+                    n_in == 2 and sr[0] and sr[1] and not sr[2]
+                ):
+                    break
+            a, b, c = (int(v) for v in fr)
+            if n_in == 1:
+                # corner triangle (a, cut_ab, cut_ca); a exactly on the
+                # level set gives a zero-area corner -> skip (case111
+                # analogue after snapping)
+                if phi[a] == 0.0:
+                    continue
+                faces.append((keep_vert(a), cut_vert(a, b), cut_vert(c, a)))
+            else:
+                # quad (a, b, cut_bc, cut_ca) -> two triangles, degenerating
+                # cleanly when a or b sits exactly on the level set
+                if phi[a] == 0.0 and phi[b] == 0.0:
+                    continue  # intersection is just the edge ab
+                if phi[a] == 0.0:
+                    faces.append((keep_vert(a), keep_vert(b), cut_vert(b, c)))
+                elif phi[b] == 0.0:
+                    faces.append((keep_vert(a), keep_vert(b), cut_vert(c, a)))
+                else:
+                    ja, jb = keep_vert(a), keep_vert(b)
+                    jbc, jca = cut_vert(b, c), cut_vert(c, a)
+                    faces.append((ja, jb, jbc))
+                    faces.append((ja, jbc, jca))
+
+        # eliminate isolated verts (kept verts not referenced by any face)
+        used = np.zeros(len(new_verts), dtype=bool)
+        fa = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+        if fa.size:
+            used[fa.ravel()] = True
+        remap = -np.ones(len(new_verts), dtype=np.int64)
+        remap[used] = np.arange(int(used.sum()))
+        verts = np.asarray(new_verts)[used]
+        ids = np.asarray(orig_ids, dtype=np.int64)[used]
+        fa = remap[fa]
+        return Trimesh(verts, fa), ids
+
     def submesh(self, vert_mask: np.ndarray) -> tuple["Trimesh", np.ndarray]:
         """Induced submesh on masked vertices: keeps faces whose three
         vertices are all selected. Returns (mesh, old_vertex_indices).

@@ -6,11 +6,15 @@ sign of the Fiedler vector (first nonconstant LBO eigenfunction) of its
 submesh. This yields the geometry-adapted row tree used for streaming LBO
 compression (reference: examples/lbo/bf_lbo.c:234-240).
 
-Robustness differences from the reference: instead of nodal-domain BFS
-topology repair and exact level-set submeshes, degenerate splits fall back
-to a balanced median split of the Fiedler values (or of the longest
-coordinate axis if the eigensolve fails) — same tree contract, simpler
-machinery.
+Like the reference, sign splits get nodal-domain BFS topology repair
+(fiedler_tree_node.c:161-256): if a sign class is disconnected on the
+vertex-adjacency graph, every component except the largest is flood-filled
+into the other side, so both children stay connected. Degenerate splits
+fall back to a balanced median split of the Fiedler values (or of the
+longest coordinate axis if the eigensolve fails) — same tree contract.
+The exact zero-level-set submesh with edge splitting is available as
+`Trimesh.level_set_submesh` (reference:
+src/trimesh.get_level_set_submesh.c).
 """
 
 from __future__ import annotations
@@ -56,6 +60,8 @@ class FiedlerTree(Tree):
         if neg.all() or not neg.any():
             neg = np.zeros(len(phi), dtype=bool)
             neg[: len(phi) // 2] = True
+        else:
+            neg = _repair_nodal_domains(mesh, neg)
         order = np.argsort(~neg, kind="stable")  # negatives first
         perm[node.i0 : node.i1] = vert_ids[order]
         n_neg = int(neg.sum())
@@ -75,3 +81,33 @@ class FiedlerTree(Tree):
             # submesh() reorders verts to mask order; perm slice must match
             perm[lo:hi] = child_vert_ids
             self._build(child, perm, sub, child_vert_ids, max_depth)
+
+
+def _repair_nodal_domains(mesh: Trimesh, neg: np.ndarray) -> np.ndarray:
+    """BFS flood-fill repair of a disconnected sign split (reference:
+    fiedler tree nodal-domain repair, src/fiedler_tree_node.c:161-256).
+
+    For each sign class, keep its largest connected component on the vertex
+    adjacency graph and flip every smaller component to the other side.
+    Repeats once from the other side so both children end up connected; if
+    flipping would empty a side, the original split is returned unchanged.
+    """
+    import scipy.sparse.csgraph as csgraph
+
+    A = mesh.vertex_adjacency()
+    out = neg.copy()
+    for side in (True, False):
+        idx = np.flatnonzero(out == side)
+        if idx.size == 0:
+            return neg
+        sub = A[np.ix_(idx, idx)]
+        ncomp, labels = csgraph.connected_components(sub, directed=False)
+        if ncomp <= 1:
+            continue
+        counts = np.bincount(labels)
+        keep = int(np.argmax(counts))
+        flip = idx[labels != keep]
+        out[flip] = not side
+    if out.all() or not out.any():
+        return neg
+    return out

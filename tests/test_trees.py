@@ -161,3 +161,69 @@ def test_poisson_disk():
     D = pairwise_dists(pts, pts)
     np.fill_diagonal(D, np.inf)
     assert D.min() >= 0.1 - 1e-12
+
+
+def test_level_set_submesh_exact_boundary():
+    """Exact level-set split of a sphere by phi = z (reference:
+    bfTrimeshGetLevelSetSubmesh, src/trimesh.get_level_set_submesh.c)."""
+    from butterfly_tpu.geom.trimesh import icosphere
+
+    mesh = icosphere(3)
+    phi = mesh.verts[:, 2].copy()
+    sub, ids = mesh.level_set_submesh(phi)
+    # kept original verts are exactly the phi <= tol ones referenced by faces
+    kept = ids[ids >= 0]
+    assert np.all(phi[kept] <= 1e-12)
+    # cut verts (ids == -1) sit exactly on the level set
+    cuts = ids < 0
+    assert cuts.any()
+    assert np.abs(sub.verts[cuts, 2]).max() < 1e-12
+    # all original inside verts that belong to some inside face are kept
+    # and area approximates the hemisphere
+    a_sub = sub.face_areas().sum()
+    a_hemi = mesh.face_areas().sum() / 2
+    assert abs(a_sub - a_hemi) / a_hemi < 2e-2
+    # mesh is well-formed: all faces reference valid verts, no isolated verts
+    assert sub.faces.max() < sub.num_verts
+    used = np.zeros(sub.num_verts, dtype=bool)
+    used[sub.faces.ravel()] = True
+    assert used.all()
+
+
+def test_level_set_submesh_on_vertex_crossings():
+    """Vertices exactly on the level set (case111 analogue) don't create
+    degenerate faces."""
+    from butterfly_tpu.geom.trimesh import Trimesh
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [-1, 0.5, 0]],
+                 dtype=np.float64)
+    f = np.array([[0, 1, 2], [1, 3, 2], [0, 2, 4]])
+    phi = np.array([0.0, 1.0, 0.0, 2.0, -1.0])  # edge (0,2) on the set
+    sub, ids = Trimesh(v, f).level_set_submesh(phi)
+    areas = sub.face_areas()
+    assert np.all(areas > 1e-14)
+    # only the fully-inside triangle (0,2,4) survives
+    assert sub.num_faces == 1 and set(ids) == {0, 2, 4}
+
+
+def test_nodal_domain_repair_reconnects_split():
+    from butterfly_tpu.geom.trimesh import icosphere
+    from butterfly_tpu.trees.fiedler_tree import _repair_nodal_domains
+
+    mesh = icosphere(2)
+    z = mesh.verts[:, 2]
+    neg = z < 0
+    # poison: flip an isolated island at the north pole into the neg class
+    island = int(np.argmax(z))
+    neg[island] = True
+    fixed = _repair_nodal_domains(mesh, neg)
+    assert not fixed[island]
+    # both sides connected now
+    import scipy.sparse.csgraph as csgraph
+
+    A = mesh.vertex_adjacency()
+    for side in (True, False):
+        idx = np.flatnonzero(fixed == side)
+        ncomp, _ = csgraph.connected_components(A[np.ix_(idx, idx)],
+                                                directed=False)
+        assert ncomp == 1
