@@ -82,7 +82,9 @@ def main() -> None:
             _apply_fused,
         )
 
-        plan = FusedButterflyPlan(bf, fuse=3, r_tile=256, interpret=False)
+        # request deep fusion; the plan clamps to what fits in VMEM
+        # (fuse=5 on v5e: 2 HBM passes for the 11-factor chain)
+        plan = FusedButterflyPlan(bf, fuse=8, r_tile=256, interpret=False)
         fn = functools.partial(_apply_fused, plan._meta)
 
         def make_rep_pallas(K):
@@ -96,7 +98,9 @@ def main() -> None:
             return lambda: float(rep(plan._params, x))
 
         t_pallas = slope_time(make_rep_pallas, 4, 24)
-        log(f"butterfly apply (pallas fuse=3): {t_pallas*1e3:.3f} ms/iter")
+        fuse_used = max(pm.k for pm in plan._meta.passes)
+        log(f"butterfly apply (pallas fuse={fuse_used}): "
+            f"{t_pallas*1e3:.3f} ms/iter")
         if t_pallas < t_apply:
             t_apply, path = t_pallas, "pallas"
     except Exception as e:  # pallas unavailable on this backend/toolchain

@@ -38,8 +38,14 @@ class Trimesh:
 
     @classmethod
     def from_obj(cls, path: str) -> "Trimesh":
-        """Minimal OBJ reader: v and f records (triangles)
-        (reference: bfTrimeshNewFromObjFile)."""
+        """OBJ reader: v and f records, fan-triangulated
+        (reference: bfTrimeshNewFromObjFile). Uses the native C++ parser
+        (native/meshkit.cpp) when available, pure Python otherwise."""
+        from butterfly_tpu.geom.native import load_obj_native
+
+        nat = load_obj_native(path)
+        if nat is not None:
+            return cls(*nat)
         verts, faces = [], []
         with open(path) as f:
             for line in f:
@@ -81,7 +87,12 @@ class Trimesh:
 
     def boundary_edges(self) -> np.ndarray:
         """Edges incident to exactly one face (reference: boundary detection
-        in src/trimesh.c)."""
+        in src/trimesh.c). Native C++ half-edge counting when available."""
+        from butterfly_tpu.geom.native import boundary_edges_native
+
+        nat = boundary_edges_native(self.faces)
+        if nat is not None:
+            return nat
         e = np.concatenate(
             [self.faces[:, [0, 1]], self.faces[:, [1, 2]], self.faces[:, [2, 0]]]
         )
@@ -258,8 +269,20 @@ class Trimesh:
         local stiffness entries are A * grad(phi_a) . grad(phi_b) — the
         classical cotan weights — and the local mass is A/6 on the diagonal,
         A/12 off.
+
+        Uses the native C++ element assembly (native/meshkit.cpp) when
+        available; the vectorized NumPy path below is the portable fallback
+        and the oracle the native path is tested against.
         """
+        from butterfly_tpu.geom.native import lbo_fem_native
+
         nv = self.num_verts
+        nat = lbo_fem_native(self.verts, self.faces)
+        if nat is not None:
+            nrows, ncols, nLv, nMv = nat
+            L = sp.coo_matrix((nLv, (nrows, ncols)), shape=(nv, nv)).tocsr()
+            M = sp.coo_matrix((nMv, (nrows, ncols)), shape=(nv, nv)).tocsr()
+            return L, M
         f = self.faces
         p = self.verts[f]  # (nf, 3, 3)
         # edge vectors opposite each vertex: e_a = x_c - x_b

@@ -61,6 +61,32 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Mosaic scoped-VMEM budget we request per kernel (v5e/v5p chips have 128 MB
+# physical VMEM; leave headroom for Mosaic's own scratch).
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def _pass_vmem_bytes(k: int, R: int, blk: int, r_tile: int,
+                     has_leaf: bool) -> int:
+    """Estimated VMEM for one fused pass of k levels: double-buffered weight
+    windows + activation in/out tiles."""
+    Rk = R**k
+    weights = k * R ** (k - 1) * (R * blk) ** 2 * 4
+    if has_leaf:
+        weights += Rk * blk * blk * 4
+    acts = 2 * Rk * blk * r_tile * 4  # in + out tile
+    return 2 * (weights + acts)  # double buffering
+
+
+def max_fuse(R: int, blk: int, r_tile: int, has_leaf: bool,
+             budget: int = _VMEM_LIMIT_BYTES) -> int:
+    """Deepest per-pass fusion whose VMEM estimate fits the budget."""
+    k = 1
+    while _pass_vmem_bytes(k + 1, R, blk, r_tile, has_leaf) <= budget:
+        k += 1
+    return k
+
+
 @dataclasses.dataclass(frozen=True)
 class _PassMeta:
     """Static topology of one fused pass (hashable; closed over by jit)."""
@@ -167,6 +193,18 @@ def _make_pass_call(meta: _PassMeta, R: int, r_tile: int, r_pad: int,
     act_elems = meta.hiG * Rk * meta.loG * blk * r_pad
 
     kernel = functools.partial(_pass_kernel, meta, R, r_tile)
+    # Deep fused passes legitimately hold several weight levels plus the
+    # activation group in VMEM at once; raise Mosaic's conservative scoped-
+    # vmem default (16 MB) toward the chip's physical VMEM so fuse >= 4
+    # compiles (v5e/v5p have 128 MB).
+    compiler_params = None
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * len(grid),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -180,6 +218,7 @@ def _make_pass_call(meta: _PassMeta, R: int, r_tile: int, r_pad: int,
             bytes_accessed=4 * (weight_elems + 2 * act_elems),
             transcendentals=0,
         ),
+        compiler_params=compiler_params,
         interpret=interpret,
     )
 
@@ -235,6 +274,11 @@ class FusedButterflyPlan:
         Lv = bf.num_levels
         max_k = int(round(math.log(bf.NB, R)))
         fuse = max(1, min(fuse, Lv, max_k))
+        # clamp to what fits in VMEM (the pass holding the leaf is the
+        # tightest; use it for the bound so every pass fits)
+        fuse = min(
+            fuse, max_fuse(R, blk, r_tile, has_leaf=bf.leaf is not None)
+        )
         # pass sizes: greedy chunks of `fuse` levels
         sizes = []
         rem = Lv
