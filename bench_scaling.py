@@ -1,0 +1,108 @@
+"""Multi-chip scaling-efficiency harness (BASELINE target: >=85% at 2+ hosts).
+
+Weak-scaling protocol: the per-device problem is held constant — each added
+model-axis device brings its own slice of butterfly blocks, each added
+data-axis device brings its own query batch — so perfect scaling keeps the
+step time flat and efficiency(n) = t(1) / t(n).
+
+Usage:
+    python bench_scaling.py [n_devices ...]        # default: 1 2 4 ... max
+
+On this box there is ONE real TPU chip, so real-ICI numbers require a pod;
+run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+to validate the sharded path end-to-end on a virtual mesh (the printed
+efficiencies are then host-CPU artifacts, not ICI measurements — the line is
+tagged "backend" accordingly). Prints one JSON line per device count.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def slope_time(make_rep, k1: int, k2: int, reps: int = 5) -> float:
+    r1, r2 = make_rep(k1), make_rep(k2)
+    for f in (r1, r2):
+        f(), f()
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter(); r1(); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); r2(); t2s.append(time.perf_counter() - t0)
+    return (np.median(t2s) - np.median(t1s)) / (k2 - k1)
+
+
+def step_time(n_devices: int, blocks_per_device: int = 64, block: int = 128,
+              queries_per_device: int = 64, d: int = 64) -> float:
+    """Median seconds per sharded scoring+butterfly step on n devices."""
+    import jax
+    import jax.numpy as jnp
+
+    from butterfly_tpu.models.retrieval import CompressedTable
+    from butterfly_tpu.ops.butterfly import random_butterfly
+    from butterfly_tpu.parallel import (
+        data_sharding, make_mesh, shard_butterfly, shard_table,
+    )
+
+    mesh = make_mesh(n_devices)
+    n_model, n_data = mesh.shape["model"], mesh.shape["data"]
+    NB = blocks_per_device * n_model
+    while NB & (NB - 1):  # butterfly wants a power of two
+        NB += blocks_per_device
+    q = queries_per_device * n_data
+    rank = 32
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(0), 4)
+    ct = CompressedTable(
+        jax.random.normal(k1, (NB, block, rank), jnp.float32) / np.sqrt(rank),
+        jax.random.normal(k2, (NB, rank, d), jnp.float32) / np.sqrt(d),
+    )
+    bf = random_butterfly(NB, block, dtype=jnp.float32, key=k3)
+
+    with mesh:
+        ct = shard_table(ct, mesh)
+        bf = shard_butterfly(bf, mesh)
+        queries = jax.device_put(
+            jax.random.normal(k4, (q, d), jnp.float32), data_sharding(mesh)
+        )
+
+        def make_rep(K):
+            @jax.jit
+            def rep(ct, bf, queries):
+                def body(carry, _):
+                    scores = ct.score(queries)          # (n, q) TP-local GEMMs
+                    deep = bf.apply(scores + carry)     # per-level ICI exchange
+                    return jnp.mean(deep) * 0.0, 0.0
+                out, _ = jax.lax.scan(body, 0.0, None, length=K)
+                return out
+
+            return lambda: float(rep(ct, bf, queries))
+
+        return slope_time(make_rep, 2, 8)
+
+
+def main() -> None:
+    import jax
+
+    ndev = len(jax.devices())
+    counts = [int(a) for a in sys.argv[1:]] or [
+        n for n in (1, 2, 4, 8, 16, 32) if n <= ndev
+    ]
+    t1 = None
+    for n in counts:
+        t = step_time(n)
+        if t1 is None:
+            t1 = t
+        eff = t1 / t
+        print(json.dumps({
+            "metric": "weak_scaling_efficiency",
+            "n_devices": n,
+            "step_ms": round(t * 1e3, 3),
+            "efficiency_vs_1dev": round(eff, 3),
+            "backend": jax.default_backend(),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,22 +67,22 @@ _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
 def _pass_vmem_bytes(k: int, R: int, blk: int, r_tile: int,
-                     has_leaf: bool) -> int:
+                     has_leaf: bool, wbytes: int = 4) -> int:
     """Estimated VMEM for one fused pass of k levels: double-buffered weight
     windows + activation in/out tiles."""
     Rk = R**k
-    weights = k * R ** (k - 1) * (R * blk) ** 2 * 4
+    weights = k * R ** (k - 1) * (R * blk) ** 2 * wbytes
     if has_leaf:
-        weights += Rk * blk * blk * 4
-    acts = 2 * Rk * blk * r_tile * 4  # in + out tile
+        weights += Rk * blk * blk * wbytes
+    acts = 2 * Rk * blk * r_tile * 4  # in + out tile (f32 activations)
     return 2 * (weights + acts)  # double buffering
 
 
 def max_fuse(R: int, blk: int, r_tile: int, has_leaf: bool,
-             budget: int = _VMEM_LIMIT_BYTES) -> int:
+             budget: int = _VMEM_LIMIT_BYTES, wbytes: int = 4) -> int:
     """Deepest per-pass fusion whose VMEM estimate fits the budget."""
     k = 1
-    while _pass_vmem_bytes(k + 1, R, blk, r_tile, has_leaf) <= budget:
+    while _pass_vmem_bytes(k + 1, R, blk, r_tile, has_leaf, wbytes) <= budget:
         k += 1
     return k
 
@@ -124,9 +124,10 @@ def _pass_kernel(meta: _PassMeta, R: int, r_tile: int, *refs):
     tiles = [x_ref[0, g, 0, :, :] for g in range(Rk)]
     wi = 0
     if meta.has_leaf:
+        wdt = w_refs[0].dtype
         for g in range(Rk):
             tiles[g] = jnp.dot(
-                w_refs[0][0, 0, g], tiles[g],
+                w_refs[0][0, 0, g], tiles[g].astype(wdt),
                 preferred_element_type=jnp.float32,
             ).astype(dt)
         wi = 1
@@ -138,7 +139,7 @@ def _pass_kernel(meta: _PassMeta, R: int, r_tile: int, *refs):
             for v in range(V):
                 a_in = jnp.concatenate(
                     [tiles[(u * R + d) * V + v] for d in range(R)], axis=0
-                )  # (R*blk, r_tile)
+                ).astype(W.dtype)  # (R*blk, r_tile); bf16 weights -> bf16 in
                 y = jnp.dot(
                     W[0, 0, u, v], a_in, preferred_element_type=jnp.float32
                 ).astype(dt)  # rows = (c, m)
@@ -276,8 +277,11 @@ class FusedButterflyPlan:
         fuse = max(1, min(fuse, Lv, max_k))
         # clamp to what fits in VMEM (the pass holding the leaf is the
         # tightest; use it for the bound so every pass fits)
+        wbytes = jnp.dtype(bf.levels[0].dtype).itemsize
         fuse = min(
-            fuse, max_fuse(R, blk, r_tile, has_leaf=bf.leaf is not None)
+            fuse,
+            max_fuse(R, blk, r_tile, has_leaf=bf.leaf is not None,
+                     wbytes=wbytes),
         )
         # pass sizes: greedy chunks of `fuse` levels
         sizes = []

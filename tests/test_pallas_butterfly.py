@@ -55,3 +55,37 @@ def test_fused_rejects_complex():
     bfc = bf.astype(jnp.complex64)
     with pytest.raises(Exception):
         FusedButterflyPlan(bfc, interpret=True)
+
+
+def test_fused_bf16_weights():
+    """Mixed-precision serving mode: bf16 weights, f32 activations/accum.
+
+    The fused plan must agree with the bf16 einsum path (same arithmetic:
+    per-level bf16 inputs, f32 accumulation) and stay within bf16 distance
+    of the f32 oracle.
+    """
+    bf32 = random_butterfly(16, 8, dtype=jnp.float32, key=jax.random.key(8))
+    bf16 = bf32.astype(jnp.bfloat16)
+    plan = FusedButterflyPlan(bf16, fuse=2, r_tile=128, interpret=True)
+    x = jax.random.normal(jax.random.key(9), (bf32.shape[1], 4), jnp.float32)
+    got = np.asarray(plan.apply(x), dtype=np.float64)
+    want16 = np.asarray(bf16.apply(x), dtype=np.float64)
+    want32 = np.asarray(bf32.apply(x), dtype=np.float64)
+    rel_vs_einsum = np.linalg.norm(got - want16) / np.linalg.norm(want16)
+    rel_vs_f32 = np.linalg.norm(got - want32) / np.linalg.norm(want32)
+    assert rel_vs_einsum < 1e-3
+    assert rel_vs_f32 < 5e-2
+    assert got.dtype == np.float64 and plan.apply(x).dtype == jnp.float32
+
+
+def test_max_fuse_vmem_clamp():
+    from butterfly_tpu.ops.pallas_butterfly import max_fuse
+
+    k32 = max_fuse(2, 128, 256, has_leaf=True, wbytes=4)
+    k16 = max_fuse(2, 128, 256, has_leaf=True, wbytes=2)
+    assert k16 >= k32  # halving weight bytes can only deepen fusion
+    # a plan requesting more than the clamp silently gets the clamp
+    bf = random_butterfly(1024, 128, dtype=jnp.float32,
+                          key=jax.random.key(10))
+    plan = FusedButterflyPlan(bf, fuse=99, r_tile=256, interpret=True)
+    assert max(pm.k for pm in plan._meta.passes) == k32
