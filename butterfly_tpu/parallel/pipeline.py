@@ -234,8 +234,8 @@ def _pipeline_apply(mesh, S, g, M, R, weights, perms, x):
         # w_local: (1, g, NB/R, R, R, blk, blk); micro: (M, NB, blk, rm)
         s = jax.lax.axis_index("stage")
         # carries vary per stage device -> mark as varying over the axis
-        state = jax.lax.pvary(jnp.zeros_like(micro[0]), ("stage",))
-        outs = jax.lax.pvary(jnp.zeros_like(micro), ("stage",))
+        state = jax.lax.pcast(jnp.zeros_like(micro[0]), ("stage",), to="varying")
+        outs = jax.lax.pcast(jnp.zeros_like(micro), ("stage",), to="varying")
         T = M + S - 1
 
         def step(t, carry):
