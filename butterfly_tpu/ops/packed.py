@@ -194,9 +194,17 @@ def _round_up(x: int, align: int) -> int:
 
 @dataclasses.dataclass
 class _GemmBucket:
-    weights: jnp.ndarray  # (B, m, k) padded
-    in_idx: jnp.ndarray  # (B, k) int32 into read buffer (pad -> zero slot)
-    out_idx: jnp.ndarray  # (B, m) int32 into write buffer (pad -> dump slot)
+    """Every GEMM unit reads/writes a CONTIGUOUS row range of its buffer, so
+    a bucket carries per-block START offsets, not per-row index tables: the
+    gather is a vmapped dynamic_slice of (k_pad, r) windows and the scatter
+    is a windowed scatter-add of (m_pad, r) windows — block-granular DMA
+    instead of row-granular gather (measured ~30x faster on TPU). Padded
+    window rows read neighbor data times ZERO weight columns / write zero
+    rows, so correctness needs only zeroed tail padding on every buffer."""
+
+    weights: jnp.ndarray  # (B, m_pad, k_pad) padded, pad entries zero
+    in_start: jnp.ndarray  # (B,) int32 row starts into the read buffer
+    out_start: jnp.ndarray  # (B,) int32 row starts into the write buffer
     read_buf: int
     write_buf: int
     flops_real: int  # unpadded useful flops per RHS column (x2 for mul-add)
@@ -223,17 +231,40 @@ class PackedApplyStats:
 
 
 class StagePlan:
-    """Executable packed form of a LinOp: buffers + bucketed stages."""
+    """Executable packed form of a LinOp: buffers + bucketed stages.
 
-    def __init__(self, op: L.LinOp, dtype=None, block_align: int = 128):
+    `real_embed`: map a complex operator onto REAL buffers via the standard
+    2x2 embedding — every buffer of size S becomes [Re; Im] of size 2S and a
+    complex block Z = A + iB becomes four real GEMM units (A, -B, B, A) wired
+    between the halves. Complex matmul is UNIMPLEMENTED on the TPU backend
+    (measured: c64 einsum -> "TPU backend error (Unimplemented)"), so this is
+    how the Helmholtz apply (the reference's zgemv hot loop,
+    src/mat_dense_complex.c:1072) rides the MXU. Flop accounting stays exact:
+    4 real (m, k) units = 8mk flops = one complex madd's true cost.
+    Default: auto (embed iff the op is complex and the backend is TPU).
+    """
+
+    def __init__(self, op: L.LinOp, dtype=None, block_align: int = 128,
+                 real_embed: bool | None = None):
         m, n = op.shape
         self.shape = (m, n)
+        op_complex = np.issubdtype(op.dtype, np.complexfloating)
         if dtype is None:
-            dtype = (
-                jnp.complex64 if np.issubdtype(op.dtype, np.complexfloating)
-                else jnp.float32
+            dtype = jnp.complex64 if op_complex else jnp.float32
+        dtype = jnp.dtype(dtype)
+        if real_embed is None:
+            real_embed = (
+                np.issubdtype(dtype, np.complexfloating)
+                and jax.default_backend() == "tpu"
             )
-        self.dtype = jnp.dtype(dtype)
+        self.real_embed = bool(real_embed) and np.issubdtype(
+            dtype, np.complexfloating
+        )
+        if self.real_embed:
+            # compute in the matching real dtype; split/recombine at the edges
+            self._io_dtype = dtype
+            dtype = jnp.dtype(np.zeros(0, dtype).real.dtype)
+        self.dtype = dtype
 
         chains: list[_Chain] = []
         _flatten(op, 0, 0, chains)
@@ -251,12 +282,9 @@ class StagePlan:
                 offs.append(buf_sizes[t])
                 buf_sizes[t] += c.factors[t].in_dim
             chain_offsets.append(offs)
-        self.buf_sizes = buf_sizes
-        self.out_size = m
-
-        # Collect units with global indices, keyed for bucketing.
-        gemm_groups: dict[tuple, list] = {}
-        scale_groups: dict[tuple, list] = {}
+        # Collect units with global indices (original, un-embedded buffers).
+        raw_gemms: list[tuple] = []  # (t, write_buf, data, in_base, out_base)
+        raw_scales: list[tuple] = []  # (t, write_buf, weights, in_idx, out_idx)
         for c, offs in zip(chains, chain_offsets):
             last = len(c.factors) - 1
             for t, f in enumerate(c.factors):
@@ -264,49 +292,101 @@ class StagePlan:
                 write_buf = -1 if t == last else t + 1
                 out_base = c.i0 if t == last else offs[t + 1]
                 for u in f.gemms:
-                    mm, kk = u.data.shape
-                    key = (
-                        t,
-                        write_buf,
-                        _round_up(mm, block_align),
-                        _round_up(kk, block_align),
-                    )
-                    gemm_groups.setdefault(key, []).append(
-                        (u.data, in_base + u.in_off, out_base + u.out_off)
+                    raw_gemms.append(
+                        (t, write_buf, u.data, in_base + u.in_off,
+                         out_base + u.out_off)
                     )
                 for u in f.scales:
-                    key = (t, write_buf)
-                    scale_groups.setdefault(key, []).append(
-                        (u.weights, in_base + u.in_idx, out_base + u.out_idx)
+                    raw_scales.append(
+                        (t, write_buf, u.weights, in_base + u.in_idx,
+                         out_base + u.out_idx)
                     )
 
-        # Materialize buckets (device arrays). Padded gather rows point at a
-        # trailing zero slot of the read buffer; padded scatter rows point at
-        # a trailing dump slot of the write buffer.
+        if self.real_embed:
+            # Buffer convention: size-S complex buffer -> size-2S real buffer
+            # holding [Re; Im]. Complex Z = A + iB becomes the 2x2 real block
+            # [[A, -B], [B, A]]: four (m, k) units between the halves (real
+            # data keeps just the two diagonal copies).
+            def in_half(t):
+                return buf_sizes[t]
+
+            def out_half(wb):
+                return m if wb == -1 else buf_sizes[wb]
+
+            eg, es = [], []
+            for (t, wb, data, jb, ib) in raw_gemms:
+                si, so = in_half(t), out_half(wb)
+                A = np.ascontiguousarray(data.real)
+                eg.append((t, wb, A, jb, ib))
+                eg.append((t, wb, A, si + jb, so + ib))
+                if np.issubdtype(data.dtype, np.complexfloating):
+                    B = np.ascontiguousarray(data.imag)
+                    if np.any(B):
+                        eg.append((t, wb, -B, si + jb, ib))
+                        eg.append((t, wb, B, jb, so + ib))
+            for (t, wb, w, iix, oix) in raw_scales:
+                si, so = in_half(t), out_half(wb)
+                wr = np.ascontiguousarray(np.asarray(w).real)
+                es.append((t, wb, wr, iix, oix))
+                es.append((t, wb, wr, si + iix, so + oix))
+                if np.issubdtype(np.asarray(w).dtype, np.complexfloating):
+                    wi = np.ascontiguousarray(np.asarray(w).imag)
+                    if np.any(wi):
+                        es.append((t, wb, -wi, si + iix, oix))
+                        es.append((t, wb, wi, iix, so + oix))
+            raw_gemms, raw_scales = eg, es
+            buf_sizes = [2 * s for s in buf_sizes]
+            m = 2 * m
+
+        self.buf_sizes = buf_sizes
+        self.out_size = m
+
+        # Bucket by (stage, write buffer, padded shape).
+        gemm_groups: dict[tuple, list] = {}
+        scale_groups: dict[tuple, list] = {}
+        for (t, write_buf, data, jbase, ibase) in raw_gemms:
+            mm, kk = data.shape
+            key = (
+                t,
+                write_buf,
+                _round_up(mm, block_align),
+                _round_up(kk, block_align),
+            )
+            gemm_groups.setdefault(key, []).append((data, jbase, ibase))
+        for (t, write_buf, w, iix, oix) in raw_scales:
+            scale_groups.setdefault((t, write_buf), []).append((w, iix, oix))
+
+        # Materialize buckets (device arrays). Gather/scatter windows may run
+        # up to (k_pad - 1) / (m_pad - 1) rows past a buffer's logical end, so
+        # every buffer gets a zeroed tail of at least that many rows (the tail
+        # also provides the scale units' zero/dump slot row).
         self._gemm_buckets: list[_GemmBucket] = []
         self._scale_buckets: list[_ScaleBucket] = []
+        tails: dict[int, int] = {}  # buffer id (-1 = output) -> tail rows
         useful = 0
         padded = 0
         weight_bytes = 0
         for (t, wb, mp, kp), units in sorted(gemm_groups.items()):
             B = len(units)
             W = np.zeros((B, mp, kp), dtype=self.dtype)
-            in_idx = np.full((B, kp), self._zero_slot(t), dtype=np.int32)
-            out_idx = np.full((B, mp), self._dump_slot(wb), dtype=np.int32)
+            in_start = np.zeros(B, dtype=np.int32)
+            out_start = np.zeros(B, dtype=np.int32)
             fl = 0
             for b, (data, jbase, ibase) in enumerate(units):
                 mm, kk = data.shape
                 W[b, :mm, :kk] = data
-                in_idx[b, :kk] = np.arange(jbase, jbase + kk)
-                out_idx[b, :mm] = np.arange(ibase, ibase + mm)
+                in_start[b] = jbase
+                out_start[b] = ibase
                 fl += 2 * mm * kk
+            tails[t] = max(tails.get(t, 1), kp)
+            tails[wb] = max(tails.get(wb, 1), mp)
             useful += fl
             padded += 2 * B * mp * kp
             weight_bytes += W.nbytes
             self._gemm_buckets.append(
                 _GemmBucket(
-                    jnp.asarray(W), jnp.asarray(in_idx), jnp.asarray(out_idx),
-                    t, wb, fl,
+                    jnp.asarray(W), jnp.asarray(in_start),
+                    jnp.asarray(out_start), t, wb, fl,
                 )
             )
         for (t, wb), units in sorted(scale_groups.items()):
@@ -338,7 +418,11 @@ class StagePlan:
         meta = _PlanMeta(
             num_stages=num_stages,
             buf_sizes=tuple(self.buf_sizes),
+            buf_tails=tuple(
+                tails.get(t, 1) for t in range(len(self.buf_sizes))
+            ),
             out_size=self.out_size,
+            out_tail=tails.get(-1, 1),
             dtype=self.dtype,
             gemm_meta=tuple(
                 (b.read_buf, b.write_buf) for b in self._gemm_buckets
@@ -348,7 +432,7 @@ class StagePlan:
             ),
         )
         self._params = (
-            [(b.weights, b.in_idx, b.out_idx) for b in self._gemm_buckets],
+            [(b.weights, b.in_start, b.out_start) for b in self._gemm_buckets],
             [(b.weights, b.in_idx, b.out_idx) for b in self._scale_buckets],
         )
         self._apply_jit = jax.jit(partial(_apply_plan, meta))
@@ -363,6 +447,18 @@ class StagePlan:
 
     def __call__(self, x):
         """Apply to (n,) or (n, r); jit-compiled, cached per input shape."""
+        if self.real_embed:
+            # complex in/out lives on the host (the TPU backend has no
+            # complex dtypes at all); the device sees stacked [Re; Im].
+            x = np.asarray(x)
+            was_vec = x.ndim == 1
+            if was_vec:
+                x = x[:, None]
+            xr = np.concatenate([x.real, x.imag], axis=0)
+            yr = np.asarray(self.apply_stacked(xr))
+            mh = self.shape[0]
+            y = (yr[:mh] + 1j * yr[mh:]).astype(self._io_dtype)
+            return y[:, 0] if was_vec else y
         x = jnp.asarray(x)
         was_vec = x.ndim == 1
         if was_vec:
@@ -370,9 +466,24 @@ class StagePlan:
         y = self._apply_jit(self._params, x)
         return y[:, 0] if was_vec else y
 
+    def apply_stacked(self, xr):
+        """Device-resident apply in stacked-real form: (2n, r) -> (2m, r).
+
+        For real_embed plans only — lets iterative solvers (GMRES sketches,
+        scoring loops) stay on device across complex applies.
+        """
+        check(self.real_embed, "apply_stacked requires a real_embed plan")
+        xr = jnp.asarray(xr)
+        was_vec = xr.ndim == 1
+        if was_vec:
+            xr = xr[:, None]
+        y = self._apply_jit(self._params, xr)
+        return y[:, 0] if was_vec else y
+
     def materialize(self) -> np.ndarray:
         """Dense matrix of the packed op (for oracle tests)."""
-        return np.asarray(self(jnp.eye(self.shape[1], dtype=self.dtype)))
+        dt = self._io_dtype if self.real_embed else self.dtype
+        return np.asarray(self(np.eye(self.shape[1], dtype=dt)))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -381,10 +492,35 @@ class _PlanMeta:
 
     num_stages: int
     buf_sizes: tuple
+    buf_tails: tuple
     out_size: int
+    out_tail: int
     dtype: object
     gemm_meta: tuple  # ((read_buf, write_buf), ...)
     scale_meta: tuple
+
+
+def _gather_windows(buf, starts, kp):
+    """(B,) starts -> (B, kp, r) contiguous row windows of buf."""
+    r = buf.shape[1]
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(buf, (s, jnp.int32(0)), (kp, r))
+    )(starts)
+
+
+def _scatter_add_windows(buf, starts, upd):
+    """buf[starts[b]:starts[b]+mp] += upd[b] for every block b (overlaps
+    accumulate; windows are in-bounds by the buffer-tail construction)."""
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,),
+    )
+    return jax.lax.scatter_add(
+        buf, starts[:, None], upd, dnums,
+        indices_are_sorted=False, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
 
 
 def _apply_plan(meta: _PlanMeta, params, x: jnp.ndarray) -> jnp.ndarray:
@@ -392,30 +528,33 @@ def _apply_plan(meta: _PlanMeta, params, x: jnp.ndarray) -> jnp.ndarray:
     gemm_params, scale_params = params
     r = x.shape[1]
     dt = meta.dtype
-    zero_row = jnp.zeros((1, r), dtype=dt)
-    # buffers[t] has a trailing zero/dump slot row
+    # buffers carry a zeroed tail (window slack + the scale zero/dump row)
     bufs: list = [None] * len(meta.buf_sizes)
-    bufs[0] = jnp.concatenate([x.astype(dt), zero_row], axis=0)
-    out = jnp.zeros((meta.out_size + 1, r), dtype=dt)
+    bufs[0] = jnp.concatenate(
+        [x.astype(dt), jnp.zeros((meta.buf_tails[0], r), dtype=dt)], axis=0
+    )
+    out = jnp.zeros((meta.out_size + meta.out_tail, r), dtype=dt)
 
     for t in range(meta.num_stages):
         # allocate the NEXT intermediate buffer lazily as an accumulator
         if t + 1 < len(meta.buf_sizes) and bufs[t + 1] is None:
-            bufs[t + 1] = jnp.zeros((meta.buf_sizes[t + 1] + 1, r), dtype=dt)
-        for (read_buf, write_buf), (W, in_idx, out_idx) in zip(
+            bufs[t + 1] = jnp.zeros(
+                (meta.buf_sizes[t + 1] + meta.buf_tails[t + 1], r), dtype=dt
+            )
+        for (read_buf, write_buf), (W, in_start, out_start) in zip(
             meta.gemm_meta, gemm_params
         ):
             if read_buf != t:
                 continue
-            g = jnp.take(bufs[t], in_idx, axis=0)  # (B, k, r)
+            kp = W.shape[2]
+            g = _gather_windows(bufs[t], in_start, kp)  # (B, kp, r)
             y = jnp.einsum("bmk,bkr->bmr", W, g, preferred_element_type=dt)
-            B, mp, _ = W.shape
-            upd = y.reshape(B * mp, r)
-            idx = out_idx.reshape(B * mp)
             if write_buf == -1:
-                out = out.at[idx].add(upd)
+                out = _scatter_add_windows(out, out_start, y)
             else:
-                bufs[write_buf] = bufs[write_buf].at[idx].add(upd)
+                bufs[write_buf] = _scatter_add_windows(
+                    bufs[write_buf], out_start, y
+                )
         for (read_buf, write_buf), (w, in_idx, out_idx) in zip(
             meta.scale_meta, scale_params
         ):
@@ -426,9 +565,11 @@ def _apply_plan(meta: _PlanMeta, params, x: jnp.ndarray) -> jnp.ndarray:
                 out = out.at[out_idx].add(vals)
             else:
                 bufs[write_buf] = bufs[write_buf].at[out_idx].add(vals)
-    return out[:-1]
+    return out[: meta.out_size]
 
 
-def pack(op: L.LinOp, dtype=None, block_align: int = 128) -> StagePlan:
+def pack(op: L.LinOp, dtype=None, block_align: int = 128,
+         real_embed: bool | None = None) -> StagePlan:
     """Compile a LinOp into its packed device plan."""
-    return StagePlan(op, dtype=dtype, block_align=block_align)
+    return StagePlan(op, dtype=dtype, block_align=block_align,
+                     real_embed=real_embed)
