@@ -3,14 +3,20 @@
 The flagship application (BASELINE.json configs[1,2]): an n x d embedding
 table stored as structured factors instead of dense rows —
 
-    T  ~=  Psi @ V            (one-level: block-diagonal row basis)
-    T  ~=  B @ V              (deep: Psi upgraded to a UniformButterfly)
+    T  ~=  Psi @ V                      (one-level block-diagonal row basis;
+                                         `CompressedTable`, tall tables)
+    T  ~=  Psi . W0 . ... . W_{numW-1}  (multilevel streamed butterfly;
+                                         `DeepTable`, wide structured tables)
 
-where Psi is a uniform block-diagonal (NB, s, rank) factor from per-row-block
-truncated SVDs and V stacks the right factors. The reference's analogue is
-the algebraic fac engine compressing row blocks by truncated SVD
-(getPsiAndW, src/fac.c:717-777); here blocks are uniform so every operation
-is ONE batched MXU einsum:
+For the one-level format Psi is a uniform block-diagonal (NB, s, rank) factor
+from per-row-block truncated SVDs and V stacks the right factors; rows are
+first permuted into tree order (`tree_order_rows`) so blocks compress. The
+deep format runs the full streaming factorizer + fac->device bridge. Which
+one wins is a measured property of the table's aspect/structure — see
+DeepTable's docstring. The reference's analogue is the algebraic fac engine
+compressing row blocks by truncated SVD (getPsiAndW, src/fac.c:717-777);
+here one-level blocks are uniform so every operation is ONE batched MXU
+einsum:
 
 - `score(queries)`: scores = Psi @ (V @ q) — batched block GEMMs.
 - `lookup(ids)`: row gather INTO the factors + fused block matvec
@@ -34,7 +40,14 @@ import numpy as np
 
 from butterfly_tpu.utils.errors import InvalidArgumentsError, check
 
-__all__ = ["CompressedTable", "compress_table", "exact_topk"]
+__all__ = [
+    "CompressedTable",
+    "DeepTable",
+    "compress_table",
+    "compress_table_deep",
+    "tree_order_rows",
+    "exact_topk",
+]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -121,11 +134,15 @@ def compress_table(
     rank: int,
     block_rows: int = 128,
     dtype=jnp.float32,
+    svd_dtype=np.float64,
 ) -> CompressedTable:
     """Compress a dense (n, d) table by per-row-block truncated SVD with a
     UNIFORM rank (the MXU-friendly analogue of the reference's tol-adaptive
     getPsiAndW truncation, src/fac.c:680-714; uniformity is the
-    padding/bucketing decision SURVEY.md §7 calls the central trade)."""
+    padding/bucketing decision SURVEY.md §7 calls the central trade).
+
+    svd_dtype=np.float32 halves setup time at configs[1] scale (1M x 128)
+    with negligible factor error for f32 output."""
     table = np.asarray(table)
     n, d = table.shape
     check(n % block_rows == 0, "n must be divisible by block_rows",
@@ -133,11 +150,152 @@ def compress_table(
     check(rank <= min(block_rows, d), "rank too large", InvalidArgumentsError)
     NB = n // block_rows
     blocks = table.reshape(NB, block_rows, d)
-    # batched SVD on host (setup time, f64)
-    U, S, Vt = np.linalg.svd(blocks.astype(np.float64), full_matrices=False)
+    # batched SVD on host (setup time)
+    U, S, Vt = np.linalg.svd(blocks.astype(svd_dtype), full_matrices=False)
     Psi = (U[:, :, :rank] * S[:, None, :rank]).astype(np.float32)
     V = Vt[:, :rank, :].astype(np.float32)
     return CompressedTable(jnp.asarray(Psi, dtype=dtype), jnp.asarray(V, dtype=dtype))
+
+
+def tree_order_rows(
+    table: np.ndarray,
+    leaf_size: int = 256,
+    max_depth: int = 24,
+    seed: int = 0,
+) -> np.ndarray:
+    """Row permutation from recursive PCA bisection — the retrieval analogue
+    of the reference's row-tree point permutation (the quadtree perm sift,
+    src/quadtree_node.c:123-199): rows that are close in embedding space
+    become close in tree order, so per-block truncated SVDs compress harder.
+
+    Returns `perm` with table[perm] in tree order. O(n d log(n/leaf)) via
+    power-iteration PCA per node; fine at 1M x 128 on the host.
+    """
+    table = np.asarray(table, dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    n = table.shape[0]
+    out: list[np.ndarray] = []
+    stack: list[tuple[np.ndarray, int]] = [(np.arange(n), 0)]
+    while stack:
+        idx, depth = stack.pop()
+        if depth >= max_depth or idx.size <= leaf_size:
+            out.append(idx)
+            continue
+        # PCA direction from a row subsample (the split only needs the
+        # dominant direction, not per-row precision)
+        sub = idx if idx.size <= 8192 else rng.choice(idx, 8192, replace=False)
+        Xs = table[sub]
+        mu = Xs.mean(axis=0)
+        Xc = Xs - mu
+        v = rng.standard_normal(table.shape[1]).astype(np.float32)
+        for _ in range(4):  # power iteration on the covariance
+            v = Xc.T @ (Xc @ v)
+            nv = np.linalg.norm(v)
+            if nv == 0:
+                break
+            v /= nv
+        s = (table[idx] - mu) @ v
+        med = np.median(s)
+        left, right = idx[s <= med], idx[s > med]
+        if left.size == 0 or right.size == 0:  # degenerate: split by count
+            half = idx.size // 2
+            left, right = idx[:half], idx[half:]
+        # LIFO stack: push right first so left comes out first
+        stack.append((right, depth + 1))
+        stack.append((left, depth + 1))
+    return np.concatenate(out)
+
+
+class DeepTable:
+    """A table compressed into a genuine multilevel butterfly by the
+    streaming factorizer, applied through the fac->device bridge.
+
+    T ~= Psi . W0 . ... . W_{numW-1} (reference: the streamed row-tree
+    compression, src/fac.c:717-777) — scoring T @ q^T is one packed
+    device apply per query batch.
+
+    HONEST SCOPE (measured, pinned by tests/test_retrieval.py): this wins
+    over the one-level `CompressedTable` for WIDE structured tables (d
+    comparable to n — LBO eigenvector / DCT / kernel-eigenbasis tables, the
+    reference's own workload), and for tables with highly VARIABLE per-block
+    ranks (its cuts adapt; the uniform-rank format pays the max rank
+    everywhere). For tall SMOOTH tables (1M x 128 with low uniform block
+    rank) the hierarchy's transfer matrices cost more than they save — there
+    `compress_table` + `tree_order_rows` is the right path.
+    """
+
+    def __init__(self, fac, plan, shape: tuple[int, int]):
+        self.fac = fac  # PartialFac (host oracle)
+        self.plan = plan  # StagePlan (device apply)
+        self.shape = shape
+
+    @property
+    def num_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.shape[1]
+
+    def nbytes(self) -> int:
+        """Device-resident compressed size (padded plan weights)."""
+        return self.plan.stats.weight_bytes
+
+    def nbytes_logical(self) -> int:
+        """Unpadded factor size (reference: bfFacGetNumBytes, src/fac.c:77)."""
+        return self.fac.nbytes()
+
+    def score(self, queries) -> jnp.ndarray:
+        """(q, d) queries -> (n, q) scores, on device."""
+        q = jnp.asarray(queries)
+        return self.plan(q.T)
+
+    def topk(self, queries, k: int):
+        scores = self.score(queries)
+        return jax.lax.top_k(scores.T, k)
+
+    def materialize(self) -> np.ndarray:
+        """Host oracle reconstruction."""
+        return self.fac.as_linop().materialize()
+
+
+def compress_table_deep(
+    table: np.ndarray,
+    tol: float = 1e-4,
+    col_depth: int = 2,
+    row_leaf: int = 128,
+    min_block: int = 8,
+    dtype=np.float32,
+    block_align: int | None = None,
+) -> DeepTable:
+    """Stream a table through the algebraic butterfly factorizer and compile
+    the result for device scoring (the full reference pipeline:
+    bfFacStreamerFeed src/fac_streamer.c:386 -> merge/split src/fac.c:1080 ->
+    device apply, here via fac/uniformize.py instead of per-block zgemv)."""
+    from butterfly_tpu.config import FacSpec
+    from butterfly_tpu.fac.streamer import FacStreamer
+    from butterfly_tpu.fac.uniformize import uniformize
+    from butterfly_tpu.trees import uniform_tree
+
+    table = np.asarray(table, dtype=np.float64)
+    n, d = table.shape
+    row_depth = max(1, int(np.ceil(np.log2(max(n // row_leaf, 2)))))
+    col_depth = max(1, min(col_depth, int(np.log2(max(d // min_block, 2)))))
+    spec = FacSpec(
+        row_tree=uniform_tree(n, 2, row_depth),
+        col_tree=uniform_tree(d, 2, col_depth),
+        row_tree_init_depth=min(4, row_depth),
+        tol=tol,
+        min_num_rows=min_block,
+        min_num_cols=min_block,
+    )
+    streamer = FacStreamer(spec)
+    for leaf in spec.col_tree.nodes_at_depth(col_depth):
+        if leaf.num_points:
+            streamer.feed(table[:, leaf.i0 : leaf.i1])
+    fac = streamer.get_fac()
+    plan = uniformize(fac, dtype=dtype, block_align=block_align)
+    return DeepTable(fac, plan, (n, d))
 
 
 def exact_topk(table: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
