@@ -1,23 +1,31 @@
-"""Hierarchical-LU fast direct solver.
+"""Hierarchical-LU fast direct solver — operator-first.
 
 Replacement for the reference's prototype fast direct solver
 (examples/fast_direct_solver/fast_direct_solver.py, 859 LoC): recursive
-block LU over a spatial bisection of the index set,
+block LU over a bisection of the (tree-ordered) index set,
 
     A = [[A11, A12], [A21, A22]],   S = A22 - A21 A11^{-1} A12,
 
-where A11 is factorized recursively (dense LU at the base,
-fast_direct_solver.py:609-637), the off-diagonal blocks are stored
-compressed, the reflector A21 A11^{-1} A12 is either formed by solves or
-compressed matrix-free with randomized middle-out butterfly sampling
-(fac/middle_out.py <- fast_direct_solver.py:404-607), and the Schur
-complement is the lazy difference the recursion continues on
-(MatDiff, fast_direct_solver.py:702). The solve is block forward/backward
-substitution (reference: _Mul, fast_direct_solver.py:752-762):
+where, matching the reference's operator discipline rather than round 1's
+dense sketch:
 
-    x1' = A11^{-1} b1
-    x2  = S^{-1} (b2 - A21 x1')
-    x1  = x1' - A11^{-1} (A12 x2)
+- A is a BLOCK-ACCESS OPERATOR, not an array: the solver touches it only
+  through matmat/rmatmat and dense extraction of SMALL sub-blocks (<=
+  base_size^2 plus the off-diagonal dense cutoff). Nothing of size O(N^2)
+  is ever materialized.
+- off-diagonal blocks A12/A21 are compressed MATRIX-FREE by randomized
+  multilevel middle-out butterfly sampling (fac/middle_out.py <-
+  reference fast_direct_solver.py:404-607), dense only below a cutoff;
+- the reflector A21 A11^{-1} A12 is compressed the same way from its
+  apply (reference: the MatProduct reflector, fast_direct_solver.py:690);
+- the Schur complement stays LAZY — a `SchurAccess` difference operator
+  the recursion continues on (reference: MatDiff,
+  fast_direct_solver.py:702);
+- split positions come from tree-node spans when a tree is given
+  (reference: get_block_inds_for_split, fast_direct_solver.py:169-204).
+
+The solve is block forward/backward substitution (reference: _Mul,
+fast_direct_solver.py:752-762), multi-RHS.
 """
 
 from __future__ import annotations
@@ -26,23 +34,293 @@ import numpy as np
 import scipy.linalg as sla
 
 from butterfly_tpu.fac.middle_out import sample_middle_out_butterfly
-from butterfly_tpu.ops.linop import Dense, Diff, LinOp, aslinop
-from butterfly_tpu.ops.svd import truncated_svd
-from butterfly_tpu.trees.tree import TreeNode
-from butterfly_tpu.utils.errors import check
+from butterfly_tpu.ops.linop import Dense, LinOp
+from butterfly_tpu.trees.tree import Tree
+from butterfly_tpu.utils.errors import InvalidArgumentsError, check
 from butterfly_tpu.utils.logging import log_debug
 
-__all__ = ["FastDirectSolver"]
+__all__ = ["FastDirectSolver", "BlockAccess", "DenseAccess", "SchurAccess"]
 
 
-def _compress_offdiag(B: np.ndarray, tol: float) -> LinOp:
-    """Store an off-diagonal block compressed when the SVD pays off."""
-    U, s, Vt, truncated = truncated_svd(B, tol)
-    if truncated and (U.nbytes + Vt.nbytes) < B.nbytes:
-        from butterfly_tpu.ops.linop import Product
+class BlockAccess:
+    """Operator interface the solver builds from: applies + small dense
+    sub-blocks. Implement this to solve with a matrix that never exists
+    densely (kernel matrices assembled block-on-demand, compressed
+    factorizations, lazy Schur complements)."""
 
-        return Product([Dense(U * s), Dense(Vt)])
-    return Dense(B.copy())
+    shape: tuple[int, int]
+
+    def matmat(self, X: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def rmatmat(self, X: np.ndarray) -> np.ndarray:
+        """Adjoint apply: A^H X."""
+        raise NotImplementedError
+
+    def block(self, i0: int, i1: int, j0: int, j1: int) -> np.ndarray:
+        """Dense sub-block; only ever called with small ranges."""
+        raise NotImplementedError
+
+    def sub(self, i0: int, i1: int, j0: int, j1: int) -> "BlockAccess":
+        """Index-range view. Override when a sub-range applies cheaper than
+        zero-pad + full apply (e.g. dense slices, translation-invariant
+        kernels) — this is what keeps deep recursion levels from paying the
+        top-level apply cost."""
+        return _SubAccess(self, i0, i1, j0, j1)
+
+    @property
+    def dtype(self):
+        return np.float64
+
+
+class DenseAccess(BlockAccess):
+    def __init__(self, A: np.ndarray):
+        self.A = np.asarray(A)
+        self.shape = self.A.shape
+
+    def matmat(self, X):
+        return self.A @ X
+
+    def rmatmat(self, X):
+        return np.conj(self.A).T @ X
+
+    def block(self, i0, i1, j0, j1):
+        return self.A[i0:i1, j0:j1]
+
+    def sub(self, i0, i1, j0, j1):
+        return DenseAccess(self.A[i0:i1, j0:j1])
+
+    @property
+    def dtype(self):
+        return self.A.dtype
+
+
+class LinOpAccess(BlockAccess):
+    """Block access over a LinOp: applies are native; dense sub-blocks are
+    harvested by applying to one-hot columns (cheap for structured ops)."""
+
+    def __init__(self, op: LinOp):
+        self.op = op
+        self.shape = op.shape
+
+    def matmat(self, X):
+        return self.op.matmat(X)
+
+    def rmatmat(self, X):
+        return self.op.rmatmat(X)
+
+    def block(self, i0, i1, j0, j1):
+        E = np.zeros((self.shape[1], j1 - j0), dtype=self.op.dtype)
+        E[np.arange(j0, j1), np.arange(j1 - j0)] = 1.0
+        return self.op.matmat(E)[i0:i1]
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+
+class _SubAccess(BlockAccess):
+    """A rectangular index-range view of another access."""
+
+    def __init__(self, base: BlockAccess, i0: int, i1: int, j0: int, j1: int):
+        self.base, self.i0, self.i1, self.j0, self.j1 = base, i0, i1, j0, j1
+        self.shape = (i1 - i0, j1 - j0)
+
+    def matmat(self, X):
+        m, n = self.base.shape
+        Xf = np.zeros((n, X.shape[1]), dtype=np.result_type(X.dtype, self.dtype))
+        Xf[self.j0 : self.j1] = X
+        return self.base.matmat(Xf)[self.i0 : self.i1]
+
+    def rmatmat(self, X):
+        m, n = self.base.shape
+        Xf = np.zeros((m, X.shape[1]), dtype=np.result_type(X.dtype, self.dtype))
+        Xf[self.i0 : self.i1] = X
+        return self.base.rmatmat(Xf)[self.j0 : self.j1]
+
+    def block(self, i0, i1, j0, j1):
+        return self.base.block(
+            self.i0 + i0, self.i0 + i1, self.j0 + j0, self.j0 + j1
+        )
+
+    def sub(self, i0, i1, j0, j1):
+        return self.base.sub(
+            self.i0 + i0, self.i0 + i1, self.j0 + j0, self.j0 + j1
+        )
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+
+class SchurAccess(BlockAccess):
+    """Lazy Schur complement S = A22 - R with R a compressed LinOp
+    (reference: MatDiff, fast_direct_solver.py:702). Sub-blocks of R are
+    harvested by applying it to one-hot columns — O(apply * base) per base
+    block, never a dense materialization."""
+
+    def __init__(self, a22: BlockAccess, R: LinOp):
+        check(a22.shape == R.shape, "Schur shapes mismatch",
+              InvalidArgumentsError)
+        self.a22, self.R = a22, R
+        self.shape = a22.shape
+
+    def matmat(self, X):
+        return self.a22.matmat(X) - self.R.matmat(X)
+
+    def rmatmat(self, X):
+        return self.a22.rmatmat(X) - self.R.rmatmat(X)
+
+    def block(self, i0, i1, j0, j1):
+        E = np.zeros((self.shape[1], j1 - j0), dtype=self.dtype)
+        E[np.arange(j0, j1), np.arange(j1 - j0)] = 1.0
+        return self.a22.block(i0, i1, j0, j1) - self.R.matmat(E)[i0:i1]
+
+    def sub(self, i0, i1, j0, j1):
+        return SchurAccess(
+            self.a22.sub(i0, i1, j0, j1),
+            _RestrictedOp(self.R, i0, i1, j0, j1),
+        )
+
+    @property
+    def dtype(self):
+        return np.result_type(self.a22.dtype, self.R.dtype)
+
+
+class _RestrictedOp:
+    """Index-range view of a LinOp-like operator (matmat/rmatmat by
+    zero-embed into the operator's OWN size only — never its ancestors')."""
+
+    def __init__(self, R, i0, i1, j0, j1):
+        self.R, self.i0, self.i1, self.j0, self.j1 = R, i0, i1, j0, j1
+        self.shape = (i1 - i0, j1 - j0)
+
+    def matmat(self, X):
+        Xf = np.zeros((self.R.shape[1], X.shape[1]),
+                      dtype=np.result_type(X.dtype, self.dtype))
+        Xf[self.j0 : self.j1] = X
+        return self.R.matmat(Xf)[self.i0 : self.i1]
+
+    def rmatmat(self, X):
+        Xf = np.zeros((self.R.shape[0], X.shape[1]),
+                      dtype=np.result_type(X.dtype, self.dtype))
+        Xf[self.i0 : self.i1] = X
+        return self.R.rmatmat(Xf)[self.j0 : self.j1]
+
+    @property
+    def dtype(self):
+        return self.R.dtype
+
+
+class _SampledOp:
+    """A sampled multilevel butterfly with a THIN build-time cache.
+
+    Stored form: the multilevel LinOp (what nbytes counts, what the solve
+    uses through a host-packed plan). Build-time applies (sketching deeper
+    Schur complements, base-block harvesting) instead run through thin
+    materialized U_a/C/V_b parts — three BLAS GEMM sweeps — because the
+    build applies these operators hundreds of times with wide right-hand
+    sides. `drop_build_cache()` frees the thin parts once the subtree below
+    is built."""
+
+    def __init__(self, op: LinOp, parts: dict):
+        self.op = op
+        self.shape = op.shape
+        self._parts = parts
+        self._hp = None
+
+    # -- applies -----------------------------------------------------------
+
+    def _ensure_hp(self):
+        if self._hp is None:
+            from butterfly_tpu.ops.hostpack import HostPlan
+
+            self._hp = HostPlan(self.op, block_align=32)
+        return self._hp
+
+    def matmat(self, X):
+        if self._parts is not None:
+            return self._thin_matmat(np.asarray(X))
+        return self._ensure_hp().matmat(X)
+
+    def rmatmat(self, X):
+        if self._parts is not None:
+            return self._thin_rmatmat(np.asarray(X))
+        return self._ensure_hp().rmatmat(X)
+
+    def matvec(self, x):
+        return self.matmat(x)
+
+    def _thin_matmat(self, X):
+        pr = self._parts
+        U, V, C, roffs, coffs, p = (pr["U"], pr["V"], pr["C"],
+                                    pr["row_offsets"], pr["col_offsets"],
+                                    pr["p"])
+        M, N = C.shape[0], C.shape[1]
+        r = X.shape[1] if X.ndim == 2 else 1
+        X2 = X if X.ndim == 2 else X[:, None]
+        # t[b] = V_b^H X_b, (M*p, r)
+        t = [np.conj(V[b]).T @ X2[coffs[b] : coffs[b + 1]] for b in range(N)]
+        dt = np.result_type(self.dtype, X2.dtype)
+        Y = np.empty((self.shape[0], r), dtype=dt)
+        for a in range(M):
+            s = np.concatenate(
+                [C[a, b] @ t[b][a * p : (a + 1) * p] for b in range(N)], axis=0
+            )
+            Y[roffs[a] : roffs[a + 1]] = U[a] @ s
+        return Y if X.ndim == 2 else Y[:, 0]
+
+    def _thin_rmatmat(self, X):
+        pr = self._parts
+        U, V, C, roffs, coffs, p = (pr["U"], pr["V"], pr["C"],
+                                    pr["row_offsets"], pr["col_offsets"],
+                                    pr["p"])
+        M, N = C.shape[0], C.shape[1]
+        X2 = X if X.ndim == 2 else X[:, None]
+        r = X2.shape[1]
+        t = [np.conj(U[a]).T @ X2[roffs[a] : roffs[a + 1]] for a in range(M)]
+        dt = np.result_type(self.dtype, X2.dtype)
+        Y = np.empty((self.shape[1], r), dtype=dt)
+        for b in range(N):
+            s = np.concatenate(
+                [np.conj(C[a, b]).T @ t[a][b * p : (b + 1) * p]
+                 for a in range(M)],
+                axis=0,
+            )
+            Y[coffs[b] : coffs[b + 1]] = V[b] @ s
+        return Y if X.ndim == 2 else Y[:, 0]
+
+    def drop_build_cache(self):
+        self._parts = None
+
+    def nbytes(self):
+        return self.op.nbytes()
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+
+class _DuckAccess(BlockAccess):
+    """Adapter giving a user-provided BlockAccess-like object the default
+    `sub` behavior."""
+
+    def __init__(self, base):
+        self._b = base
+        self.shape = base.shape
+
+    def matmat(self, X):
+        return self._b.matmat(X)
+
+    def rmatmat(self, X):
+        return self._b.rmatmat(X)
+
+    def block(self, i0, i1, j0, j1):
+        return self._b.block(i0, i1, j0, j1)
+
+    @property
+    def dtype(self):
+        return getattr(self._b, "dtype", np.float64)
 
 
 class _DenseLU:
@@ -53,86 +331,194 @@ class _DenseLU:
         self._lu = sla.lu_factor(A)
         self.shape = A.shape
 
-    def solve(self, b: np.ndarray) -> np.ndarray:
+    def solve(self, b):
         return sla.lu_solve(self._lu, b)
 
-    def nbytes(self) -> int:
+    def solve_h(self, b):
+        return sla.lu_solve(self._lu, np.conj(b), trans=1).conj()
+
+    def nbytes(self):
         return self._lu[0].nbytes + self._lu[1].nbytes
 
 
+class _HlNode:
+    __slots__ = ("m", "lu1", "lu2", "A12", "A21")
+
+    def __init__(self, m, lu1, lu2, A12, A21):
+        self.m, self.lu1, self.lu2, self.A12, self.A21 = m, lu1, lu2, A12, A21
+
+
 class FastDirectSolver:
-    """Hierarchical LU of a (tree-ordered) system matrix.
+    """Hierarchical LU of a (tree-ordered) system operator.
 
     Parameters:
-      A: dense ndarray in TREE ORDER (the caller permutes; reference feeds
-        the quadtree-permuted system the same way).
-      split_points: bisection cut positions per level — e.g. from quadtree
-        level-2 node spans (reference: get_block_inds_for_split,
-        fast_direct_solver.py:169-204) or simple halving.
-      base_size: below this, dense LU.
-      tol: off-diagonal/reflector compression tolerance.
-      reflector: "solve" forms A21 A11^{-1} A12 by direct solves;
-        "sampled" compresses it matrix-free with randomized middle-out
-        butterfly sampling.
+      A: ndarray, LinOp, or BlockAccess — in TREE ORDER (the caller permutes,
+        as the reference feeds the quadtree-permuted system).
+      tree: optional Tree whose node spans choose the split positions
+        (reference: get_block_inds_for_split, fast_direct_solver.py:169-204);
+        default is balanced halving on the contiguous order.
+      base_size: below this, dense LU of an extracted block.
+      tol: compression tolerance for the sampled butterflies.
+      rank / oversample: per-block sketch budget of the middle-out sampler.
+      offdiag_dense_cutoff: off-diagonal blocks with fewer entries than this
+        are extracted dense (reference analogue: MAX_DENSE_MATRIX_SIZE,
+        src/fac_helm2.c:20).
     """
 
     def __init__(
         self,
-        A: np.ndarray,
+        A,
+        tree: Tree | None = None,
         base_size: int = 256,
         tol: float = 1e-10,
-        reflector: str = "solve",
-        sample_rank: int = 32,
-        num_sample_blocks: int = 4,
+        rank: int = 32,
+        oversample: int = 10,
+        offdiag_dense_cutoff: int | None = None,
+        rng: np.random.Generator | None = None,
+        deep: bool = False,
     ):
-        A = np.asarray(A)
-        check(A.ndim == 2 and A.shape[0] == A.shape[1], "A must be square")
+        if isinstance(A, np.ndarray):
+            A = DenseAccess(A)
+        elif isinstance(A, LinOp):
+            A = LinOpAccess(A)
+        check(
+            all(hasattr(A, a) for a in ("shape", "matmat", "rmatmat", "block")),
+            "A must be an array, LinOp, or BlockAccess-like object",
+            InvalidArgumentsError,
+        )
+        if not hasattr(A, "sub"):
+            A = _DuckAccess(A)
+        check(A.shape[0] == A.shape[1], "A must be square",
+              InvalidArgumentsError)
         self.shape = A.shape
         self.tol = tol
         self.base_size = base_size
-        self.reflector = reflector
-        self.sample_rank = sample_rank
-        self.num_sample_blocks = num_sample_blocks
-        self._root = self._build(A, 0)
+        self.rank = rank
+        self.oversample = oversample
+        self.cutoff = (
+            offdiag_dense_cutoff
+            if offdiag_dense_cutoff is not None
+            else 4 * base_size * base_size
+        )
+        self._rng = rng if rng is not None else np.random.default_rng(0)
+        self.deep = deep  # deep=True streams multilevel bases (slower build)
+        self._split_bounds = (
+            sorted({nd.i0 for nd in tree.root.subtree_nodes()}
+                   | {tree.num_points})
+            if tree is not None else None
+        )
+        self.max_dense_block_entries = 0  # o(N^2) witness for tests
+        self._root = self._build(A, 0, 0)
+        self._drop_build_caches(self._root)
+
+    @staticmethod
+    def _drop_build_caches(node) -> None:
+        if isinstance(node, _HlNode):
+            for opn in (node.A12, node.A21):
+                if isinstance(opn, _SampledOp):
+                    opn.drop_build_cache()
+            FastDirectSolver._drop_build_caches(node.lu1)
+            FastDirectSolver._drop_build_caches(node.lu2)
 
     # -- construction ----------------------------------------------------
 
-    def _build(self, A: np.ndarray, depth: int):
-        n = A.shape[0]
-        if n <= self.base_size:
-            return _DenseLU(A)
-        m = n // 2  # long-axis bisection analogue on contiguous tree order
-        A11, A12 = A[:m, :m], A[:m, m:]
-        A21, A22 = A[m:, :m], A[m:, m:]
-        lu1 = self._build(A11, depth + 1)
-        A12_c = _compress_offdiag(A12, self.tol)
-        A21_c = _compress_offdiag(A21, self.tol)
+    def _extract(self, acc: BlockAccess, i0, i1, j0, j1) -> np.ndarray:
+        self.max_dense_block_entries = max(
+            self.max_dense_block_entries, (i1 - i0) * (j1 - j0)
+        )
+        return np.asarray(acc.block(i0, i1, j0, j1))
 
-        if self.reflector == "sampled":
-            # matrix-free reflector access (reference: the MatProduct
-            # reflector + sketch matvecs, fast_direct_solver.py:690,512)
-            matvec = lambda v: A21_c.matvec(_solve(lu1, A12_c.matvec(v)))
-            rmatvec = lambda v: A12_c.rmatmat(_solve_h(lu1, A21_c.rmatmat(v)))
-            nb = min(self.num_sample_blocks, max(1, (n - m) // 32))
-            offs = np.linspace(0, n - m, nb + 1).astype(np.int64)
-            R = sample_middle_out_butterfly(
-                matvec, rmatvec, offs, offs, self.sample_rank,
-                dtype=A.dtype,
-            )
-            S_op = Diff(aslinop(A22.copy()), R)
-            S = S_op.materialize()
+    def _split(self, i0: int, i1: int) -> int:
+        """Split size m for range [i0, i1): nearest tree-node boundary to
+        the midpoint, else exact halving."""
+        n = i1 - i0
+        if self._split_bounds is None:
+            return n // 2
+        mid = i0 + n // 2
+        cands = [b for b in self._split_bounds if i0 < b < i1]
+        if not cands:
+            return n // 2
+        best = min(cands, key=lambda b: abs(b - mid))
+        # guard against degenerate splits
+        if best - i0 < self.base_size // 2 or i1 - best < self.base_size // 2:
+            return n // 2
+        return best - i0
+
+    def _probe_rank(self, matmat, n_cols: int, m_rows: int, dtype) -> int:
+        """Adaptive per-block rank: sketch once, take the max tol-rank over
+        provisional row blocks (self.rank is the CAP, not the rank — fixed-p
+        sampling at the cap stores more than dense when true ranks are
+        small)."""
+        s = min(self.rank + self.oversample, n_cols, m_rows)
+        G = self._rng.standard_normal((n_cols, s))
+        if np.issubdtype(np.dtype(dtype), np.complexfloating):
+            G = (G + 1j * self._rng.standard_normal((n_cols, s))) / np.sqrt(2)
+        Y = np.asarray(matmat(G.astype(dtype)))
+        nb = _pow2_blocks(m_rows, max(4 * self.rank, s))
+        offs = _even_offsets(m_rows, nb)
+        p = 2
+        for a in range(nb):
+            sv = np.linalg.svd(Y[offs[a] : offs[a + 1]], compute_uv=False)
+            if sv.size and sv[0] > 0:
+                p = max(p, int((sv >= max(self.tol, 1e-14) * sv[0]).sum()))
+        return min(-(-p // 4) * 4, self.rank)  # round up to a multiple of 4
+
+    def _sample(self, matmat, rmatmat, m: int, n: int, dtype) -> LinOp:
+        p = self._probe_rank(matmat, n, m, dtype)
+        nb_r = _pow2_blocks(m, max(8 * p, p + self.oversample))
+        nb_c = _pow2_blocks(n, max(8 * p, p + self.oversample))
+        op, parts = sample_middle_out_butterfly(
+            matmat, rmatmat,
+            _even_offsets(m, nb_r), _even_offsets(n, nb_c),
+            rank=p, oversample=self.oversample, tol=self.tol,
+            dtype=dtype, rng=self._rng, return_parts=True, deep=self.deep,
+        )
+        return _SampledOp(op, parts)
+
+    def _compress_offdiag(self, acc: BlockAccess) -> LinOp:
+        """Compress a rectangular off-diagonal access: dense below the
+        cutoff, sampled multilevel butterfly above."""
+        m, n = acc.shape
+        if m * n <= self.cutoff:
+            return Dense(self._extract(acc, 0, m, 0, n).copy())
+        return self._sample(acc.matmat, acc.rmatmat, m, n, acc.dtype)
+
+    def _build(self, acc: BlockAccess, i0_abs: int, depth: int):
+        n = acc.shape[0]
+        if n <= self.base_size:
+            return _DenseLU(self._extract(acc, 0, n, 0, n))
+        m = self._split(i0_abs, i0_abs + n)
+        lu1 = self._build(acc.sub(0, m, 0, m), i0_abs, depth + 1)
+        A12 = self._compress_offdiag(acc.sub(0, m, m, n))
+        A21 = self._compress_offdiag(acc.sub(m, n, 0, m))
+
+        # reflector A21 A11^{-1} A12, matrix-free
+        # (reference: fast_direct_solver.py:690,512)
+        def refl_mat(V):
+            return A21.matmat(_solve(lu1, A12.matmat(V)))
+
+        def refl_rmat(V):
+            return A12.rmatmat(_solve_h(lu1, A21.rmatmat(V)))
+
+        sz = n - m
+        if sz * sz <= self.cutoff:
+            E = np.eye(sz, dtype=acc.dtype)
+            R: LinOp = Dense(refl_mat(E))
         else:
-            R = A21_c.matmat(_solve(lu1, A12_c.materialize()))
-            S = A22 - R
-        lu2 = self._build(S, depth + 1)
+            R = self._sample(refl_mat, refl_rmat, sz, sz, acc.dtype)
+        S = SchurAccess(acc.sub(m, n, m, n), R)
+        lu2 = self._build(S, i0_abs + m, depth + 1)
         log_debug("fds depth %d: n=%d split=%d", depth, n, m)
-        return _HlNode(m, lu1, lu2, A12_c, A21_c)
+        return _HlNode(m, lu1, lu2, A12, A21)
 
     # -- solve -----------------------------------------------------------
 
     def solve(self, b: np.ndarray) -> np.ndarray:
+        """Multi-RHS block forward/backward substitution."""
         b = np.asarray(b)
-        return _solve(self._root, b)
+        was_vec = b.ndim == 1
+        x = _solve(self._root, b[:, None] if was_vec else b)
+        return x[:, 0] if was_vec else x
 
     def nbytes(self) -> int:
         def rec(node):
@@ -146,11 +532,15 @@ class FastDirectSolver:
         return rec(self._root)
 
 
-class _HlNode:
-    __slots__ = ("m", "lu1", "lu2", "A12", "A21")
+def _pow2_blocks(n: int, min_block: int) -> int:
+    nb = 1
+    while n // (2 * nb) >= max(min_block, 1) and 2 * nb <= 64:
+        nb *= 2
+    return nb
 
-    def __init__(self, m, lu1, lu2, A12, A21):
-        self.m, self.lu1, self.lu2, self.A12, self.A21 = m, lu1, lu2, A12, A21
+
+def _even_offsets(n: int, nb: int) -> np.ndarray:
+    return np.round(np.linspace(0, n, nb + 1)).astype(np.int64)
 
 
 def _solve(node, b: np.ndarray) -> np.ndarray:
@@ -167,7 +557,7 @@ def _solve_h(node, b: np.ndarray) -> np.ndarray:
     """Solve with the adjoint factorization (for rmatvec sketches):
     A^H = [[A11^H, A21^H], [A12^H, A22^H]] has the same recursive shape."""
     if isinstance(node, _DenseLU):
-        return sla.lu_solve(node._lu, np.conj(b), trans=1).conj()
+        return node.solve_h(b)
     m = node.m
     x1t = _solve_h(node.lu1, b[:m])
     x2 = _solve_h(node.lu2, b[m:] - node.A12.rmatmat(x1t))

@@ -130,13 +130,23 @@ def _single_stage(op: L.LinOp, scale: complex | float = 1.0) -> _Factor:
     return f
 
 
+def _expand_product(op: L.LinOp) -> list[L.LinOp]:
+    """Application-order factor list with nested Products inlined."""
+    if isinstance(op, L.Product):
+        out: list[L.LinOp] = []
+        for f in reversed(op.factors):
+            out.extend(_expand_product(f))
+        return out
+    return [op]
+
+
 def _flatten(op: L.LinOp, i0: int, j0: int, chains: list[_Chain],
              scale: complex | float = 1.0) -> None:
     """Flatten into chains (multi-stage leaf paths positioned at (i0, j0))."""
     if isinstance(op, L.Scaled):
         _flatten(op.op, i0, j0, chains, scale * op.alpha)
     elif isinstance(op, L.Product):
-        factors = [f for f in reversed(op.factors)]  # application order
+        factors = _expand_product(op)  # application order, nested flattened
         staged = []
         for idx, f in enumerate(factors):
             # fold the scalar into the first factor only

@@ -79,18 +79,48 @@ def test_fds_multiple_rhs(helm_system, rng):
     np.testing.assert_allclose(A @ X, B, atol=1e-7)
 
 
-def test_fds_sampled_reflector(helm_system, rng):
-    """Randomized middle-out reflector compression end to end."""
+def test_fds_operator_first_never_materializes(helm_system, rng):
+    """Operator-first build: A only reachable through matmat/rmatmat +
+    small blocks; no extracted dense block may exceed the cutoff (the
+    o(N^2)-memory witness)."""
+    from butterfly_tpu.fac.solver import DenseAccess
+
     A = helm_system
     n = A.shape[0]
-    fds = FastDirectSolver(
-        A, base_size=128, tol=1e-12, reflector="sampled",
-        sample_rank=64, num_sample_blocks=2,
-    )
+
+    class CountingAccess(DenseAccess):
+        max_block = 0
+
+        def block(self, i0, i1, j0, j1):
+            CountingAccess.max_block = max(
+                CountingAccess.max_block, (i1 - i0) * (j1 - j0)
+            )
+            return super().block(i0, i1, j0, j1)
+
+    acc = CountingAccess(A)
+    fds = FastDirectSolver(acc, base_size=128, tol=1e-12, rank=64)
     b = rng.standard_normal(n) + 0j
     x = fds.solve(b)
     res = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
-    assert res < 1e-4, f"sampled-reflector residual {res:.3e}"
+    assert res < 1e-6, f"sampled-reflector residual {res:.3e}"
+    assert CountingAccess.max_block <= fds.cutoff
+    assert fds.max_dense_block_entries <= fds.cutoff
+    assert fds.max_dense_block_entries < n * n // 8
+
+
+def test_fds_tree_splits(helm_system, rng):
+    """Split positions from tree-node spans (reference:
+    get_block_inds_for_split, fast_direct_solver.py:169-204)."""
+    from butterfly_tpu.trees import uniform_tree
+
+    A = helm_system
+    n = A.shape[0]
+    tree = uniform_tree(n, 2, 3)
+    fds = FastDirectSolver(A, tree=tree, base_size=128, tol=1e-12, rank=64)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x = fds.solve(b)
+    res = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    assert res < 1e-6
 
 
 def test_fds_spd_system(rng):
