@@ -16,6 +16,7 @@ tagged "backend" accordingly). Prints one JSON line per device count.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -82,26 +83,98 @@ def step_time(n_devices: int, blocks_per_device: int = 64, block: int = 128,
         return slope_time(make_rep, 2, 8)
 
 
+def shmap_step_time(n_devices: int, blocks_per_device: int = 64,
+                    block: int = 64, r: int = 64) -> float:
+    """Explicit-exchange butterfly apply (parallel/shmap_butterfly.py):
+    weak scaling with NB = blocks_per_device * n."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from butterfly_tpu.ops.butterfly import random_butterfly
+    from butterfly_tpu.parallel.shmap_butterfly import ShardedButterfly
+
+    mesh = Mesh(np.array(jax.devices()[:n_devices]), ("model",))
+    NB = blocks_per_device * n_devices
+    while NB & (NB - 1):
+        NB += blocks_per_device
+    bf = random_butterfly(NB, block, dtype=jnp.float32, key=jax.random.key(0))
+    sb = ShardedButterfly(bf, mesh, axis="model")
+    x = jax.device_put(
+        jax.random.normal(jax.random.key(1), (NB * block, r), jnp.float32),
+        NamedSharding(mesh, P("model")),
+    )
+
+    def make_rep(K):
+        @jax.jit
+        def rep(x, leaf, w1, w2):
+            cur = x
+            for _ in range(K):  # rows permute between applies; perf-valid
+                cur = sb._apply(cur, leaf, w1, w2)
+            return jnp.sum(cur)
+
+        return lambda: float(rep(x, sb.leaf, sb.w1, sb.w2))
+
+    return slope_time(make_rep, 2, 8)
+
+
 def main() -> None:
     import jax
+
+    # this box pins a TPU plugin that wins over the env var; only the config
+    # update reliably forces the CPU mesh backend
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     ndev = len(jax.devices())
     counts = [int(a) for a in sys.argv[1:]] or [
         n for n in (1, 2, 4, 8, 16, 32) if n <= ndev
     ]
+    results = []
     t1 = None
     for n in counts:
         t = step_time(n)
         if t1 is None:
             t1 = t
         eff = t1 / t
-        print(json.dumps({
+        rec = {
             "metric": "weak_scaling_efficiency",
+            "path": "gspmd",
             "n_devices": n,
             "step_ms": round(t * 1e3, 3),
             "efficiency_vs_1dev": round(eff, 3),
             "backend": jax.default_backend(),
-        }), flush=True)
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    s1 = None
+    for n in counts:
+        try:
+            t = shmap_step_time(n)
+        except Exception as e:  # e.g. NB < D^2 at tiny configs
+            print(json.dumps({"path": "shmap", "n_devices": n,
+                              "error": str(e)[:120]}), flush=True)
+            continue
+        if s1 is None:
+            s1 = t
+        rec = {
+            "metric": "weak_scaling_efficiency",
+            "path": "shmap_explicit_exchange",
+            "n_devices": n,
+            "step_ms": round(t * 1e3, 3),
+            "efficiency_vs_1dev": round(s1 / t, 3),
+            "backend": jax.default_backend(),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    out = os.environ.get("SCALING_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":
