@@ -117,6 +117,10 @@ class UniformButterfly:
     def __call__(self, x):
         return self.apply(x)
 
+    def matmat(self, X):
+        """Batched multi-RHS apply (alias for solver interop)."""
+        return self.apply(X)
+
     # -- introspection ---------------------------------------------------
 
     @property

@@ -58,6 +58,89 @@ def _as_matvec(A) -> Callable[[np.ndarray], np.ndarray]:
     return lambda v: np.asarray(A @ v)
 
 
+def _as_matop(A) -> Callable[[np.ndarray], np.ndarray]:
+    """(n, k) -> (m, k) apply for arrays, LinOps, plans, or callables.
+
+    Plain callables keep their historical PER-VECTOR contract (they are
+    applied column by column); pass an object with `.matmat` (LinOp,
+    StagePlan, ndarray) to get genuinely batched multi-RHS applies."""
+    if hasattr(A, "matmat"):
+        return lambda V: np.asarray(A.matmat(V))
+    if callable(A) and not hasattr(A, "matvec"):
+        def apply(V):
+            cols = [np.asarray(A(V[:, j])) for j in range(V.shape[1])]
+            return np.stack(cols, axis=1)
+
+        return apply
+    if hasattr(A, "matvec"):
+        def apply_mv(V):
+            cols = [np.asarray(A.matvec(V[:, j])) for j in range(V.shape[1])]
+            return np.stack(cols, axis=1)
+
+        return apply_mv
+    return lambda V: np.asarray(A @ V)
+
+
+def _gmres_cycle(matop, prec, X, B, m, tol, bnorm):
+    """One batched restart cycle of length m on all RHS columns.
+
+    Returns (X_new, residual_history, converged_mask). Batched over the k
+    columns: V (m+1, n, k), H (m+1, m, k); converged columns keep iterating
+    harmlessly behind division guards."""
+    n, k = B.shape
+    R = prec(B - matop(X))
+    beta = np.linalg.norm(R, axis=0)  # (k,)
+    dtype = np.result_type(B.dtype, R.dtype, np.float64)
+    V = np.zeros((m + 1, n, k), dtype=dtype)
+    H = np.zeros((m + 1, m, k), dtype=dtype)
+    cs = np.zeros((m, k), dtype=dtype)
+    sn = np.zeros((m, k), dtype=dtype)
+    g = np.zeros((m + 1, k), dtype=dtype)
+    safe_beta = np.where(beta > 0, beta, 1.0)
+    V[0] = R / safe_beta
+    g[0] = beta
+    history = [np.abs(beta) / bnorm]
+    j_used = 0
+    for j in range(m):
+        W = prec(matop(V[j]))
+        # batched modified Gram-Schmidt (reference: src/linalg.c:154-193)
+        for i in range(j + 1):
+            hij = np.einsum("nk,nk->k", np.conj(V[i]), W)
+            H[i, j] = hij
+            W = W - hij[None, :] * V[i]
+        h = np.linalg.norm(W, axis=0)
+        H[j + 1, j] = h
+        V[j + 1] = np.where(h > 0, W / np.where(h > 0, h, 1.0), 0.0)
+        # accumulated Givens rotations on the new column
+        for i in range(j):
+            t = cs[i] * H[i, j] + sn[i] * H[i + 1, j]
+            H[i + 1, j] = -np.conj(sn[i]) * H[i, j] + cs[i] * H[i + 1, j]
+            H[i, j] = t
+        a, bb = H[j, j], H[j + 1, j]
+        denom = np.sqrt(np.abs(a) ** 2 + np.abs(bb) ** 2)
+        safe_d = np.where(denom > 0, denom, 1.0)
+        phase = np.where(np.abs(a) > 0, a / np.where(np.abs(a) > 0, np.abs(a), 1.0), 1.0)
+        cs[j] = np.where(denom > 0, np.abs(a) / safe_d, 1.0)
+        sn[j] = np.where(denom > 0, phase * np.conj(bb) / safe_d, 0.0)
+        H[j, j] = cs[j] * H[j, j] + sn[j] * H[j + 1, j]
+        H[j + 1, j] = 0.0
+        g[j + 1] = -np.conj(sn[j]) * g[j]
+        g[j] = cs[j] * g[j]
+        res = np.abs(g[j + 1]) / bnorm
+        history.append(res)
+        j_used = j + 1
+        if np.all(res < tol):
+            break
+    # batched back substitution
+    j = j_used
+    y = np.zeros((j, k), dtype=dtype)
+    for i in range(j - 1, -1, -1):
+        num = g[i] - np.einsum("mk,mk->k", H[i, i + 1 : j], y[i + 1 :])
+        y[i] = num / np.where(np.abs(H[i, i]) > 0, H[i, i], 1.0)
+    X = X + np.einsum("mnk,mk->nk", V[:j], y)
+    return X, history, history[-1] < tol
+
+
 def solve_gmres(
     A,
     b: np.ndarray,
@@ -65,86 +148,166 @@ def solve_gmres(
     max_iter: int | None = None,
     M=None,
     x0: np.ndarray | None = None,
+    restart: int | None = None,
 ) -> GmresResult:
-    """Left-preconditioned GMRES with modified Gram-Schmidt + Givens
-    least-squares (reference: bfSolveGMRES, src/linalg.c:47-317).
+    """Left-preconditioned restarted GMRES with modified Gram-Schmidt +
+    Givens least-squares, MULTI-RHS (reference: bfSolveGMRES,
+    src/linalg.c:47-317). All RHS columns iterate together as batched
+    vector ops — one matop per iteration regardless of k.
 
-    A and M may be LinOps, packed plans, arrays, or callables.
+    A and M may be LinOps, packed plans, arrays, or callables. b may be
+    (n,) or (n, k). `restart` enables GMRES(m) cycles (default: one full
+    cycle of max_iter steps, the reference's behavior).
     """
-    matvec = _as_matvec(A)
-    prec = _as_matvec(M) if M is not None else (lambda v: v)
+    matop = _as_matop(A)
+    prec = _as_matop(M) if M is not None else (lambda V: V)
     b = np.asarray(b)
-    check(b.ndim == 1, "solve_gmres expects a single RHS", InvalidArgumentsError)
-    n = b.size
+    was_vec = b.ndim == 1
+    B = b[:, None] if was_vec else b
+    check(B.ndim == 2, "b must be (n,) or (n, k)", InvalidArgumentsError)
+    n, k = B.shape
     if max_iter is None:
         max_iter = min(n, 256)
+    m = restart if restart is not None else max_iter
 
-    x = np.zeros_like(b) if x0 is None else x0.astype(b.dtype, copy=True)
-    r = prec(b - matvec(x))
-    beta = np.linalg.norm(r)
-    bnorm = np.linalg.norm(prec(b))
-    if bnorm == 0:
+    X = np.zeros_like(B) if x0 is None else (
+        x0[:, None] if x0.ndim == 1 else x0
+    ).astype(B.dtype, copy=True)
+    bnorm = np.linalg.norm(prec(B), axis=0)
+    if np.all(bnorm == 0):
+        x = X[:, 0] if was_vec else X
         return GmresResult(x, 0, [0.0], True)
-    if beta / bnorm < tol:
-        return GmresResult(x, 0, [beta / bnorm], True)
+    bnorm = np.where(bnorm > 0, bnorm, 1.0)
 
-    dtype = np.result_type(b.dtype, r.dtype, np.float64)
-    V = np.zeros((max_iter + 1, n), dtype=dtype)
-    H = np.zeros((max_iter + 1, max_iter), dtype=dtype)
-    cs = np.zeros(max_iter, dtype=dtype)
-    sn = np.zeros(max_iter, dtype=dtype)
-    g = np.zeros(max_iter + 1, dtype=dtype)
-
-    V[0] = r / beta
-    g[0] = beta
-    residuals = [float(beta / bnorm)]
-    j = 0
-    for j in range(max_iter):
-        w = prec(matvec(V[j]))
-        # modified Gram-Schmidt (reference: src/linalg.c:154-193)
-        for i in range(j + 1):
-            H[i, j] = np.vdot(V[i], w)
-            w = w - H[i, j] * V[i]
-        H[j + 1, j] = np.linalg.norm(w)
-        if abs(H[j + 1, j]) > 0:
-            V[j + 1] = w / H[j + 1, j]
-        # apply accumulated Givens rotations to the new column
-        for i in range(j):
-            t = cs[i] * H[i, j] + sn[i] * H[i + 1, j]
-            H[i + 1, j] = -np.conj(sn[i]) * H[i, j] + cs[i] * H[i + 1, j]
-            H[i, j] = t
-        # new rotation eliminating H[j+1, j]: with a=H[j,j], b=H[j+1,j],
-        # c = |a|/r, s = (a/|a|) conj(b)/r so that [c s; -conj(s) c][a;b]=[r';0]
-        a, bb = H[j, j], H[j + 1, j]
-        denom = np.sqrt(abs(a) ** 2 + abs(bb) ** 2)
-        if denom == 0:
-            cs[j], sn[j] = 1.0, 0.0
-        elif a == 0:
-            cs[j], sn[j] = 0.0, 1.0
-        else:
-            cs[j] = abs(a) / denom
-            sn[j] = (a / abs(a)) * np.conj(bb) / denom
-        t = cs[j] * H[j, j] + sn[j] * H[j + 1, j]
-        H[j + 1, j] = 0.0
-        H[j, j] = t
-        g[j + 1] = -np.conj(sn[j]) * g[j]
-        g[j] = cs[j] * g[j]
-        res = abs(g[j + 1]) / bnorm
-        residuals.append(float(res))
-        if res < tol:
-            j += 1
+    residuals: list[float] = []
+    total = 0
+    converged = np.zeros(k, dtype=bool)
+    while total < max_iter:
+        steps = min(m, max_iter - total)
+        X, hist, converged = _gmres_cycle(matop, prec, X, B, steps, tol, bnorm)
+        residuals.extend(float(np.max(h)) for h in hist[1:])
+        total += len(hist) - 1
+        if np.all(converged):
             break
-    else:
-        j = max_iter
+    log_debug("gmres: %d iters (k=%d rhs), final rel res %.3e",
+              total, k, residuals[-1] if residuals else 0.0)
+    x = X[:, 0] if was_vec else X
+    return GmresResult(x, total, residuals or [0.0], bool(np.all(converged)))
 
-    # back substitution on the triangular system
-    y = np.zeros(j, dtype=dtype)
-    for i in range(j - 1, -1, -1):
-        y[i] = (g[i] - H[i, i + 1 : j] @ y[i + 1 :]) / H[i, i]
-    x = x + V[:j].T @ y
-    converged = residuals[-1] < tol
-    log_debug("gmres: %d iters, final rel res %.3e", j, residuals[-1])
-    return GmresResult(x, j, residuals, converged)
+
+def solve_gmres_device(
+    matvec,
+    b,
+    tol: float = 1e-6,
+    restart: int = 32,
+    max_cycles: int = 8,
+    M=None,
+):
+    """Device-resident restarted GMRES: the whole iteration (Krylov basis,
+    Givens recurrence, back substitution) lives in one jitted
+    lax.while_loop — matvecs never leave the chip.
+
+    Real dtypes only (this TPU backend has no complex; run Helmholtz
+    through the 2x2 real-embedded stacked system, e.g.
+    `StagePlan.apply_stacked`). matvec/M: jittable (n, k) -> (n, k)
+    callables or arrays. Returns (x, total_iters, rel_res) as jax arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    apply_a = matvec if callable(matvec) else (lambda V: matvec @ V)
+    apply_m = (M if callable(M) else (lambda V: M @ V)) if M is not None \
+        else (lambda V: V)
+
+    b = jnp.asarray(b)
+    was_vec = b.ndim == 1
+    B = b[:, None] if was_vec else b
+    n, k = B.shape
+    m = int(restart)
+
+    def cycle(X):
+        R = apply_m(B - apply_a(X))
+        beta = jnp.linalg.norm(R, axis=0)
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        V0 = jnp.zeros((m + 1, n, k), B.dtype).at[0].set(R / safe_beta)
+        H0 = jnp.zeros((m + 1, m, k), B.dtype)
+        cs0 = jnp.zeros((m, k), B.dtype)
+        sn0 = jnp.zeros((m, k), B.dtype)
+        g0 = jnp.zeros((m + 1, k), B.dtype).at[0].set(beta)
+
+        def step(j, carry):
+            V, H, cs, sn, g = carry
+            W = apply_m(apply_a(V[j]))
+            # classical Gram-Schmidt with one reorthogonalization pass —
+            # the batched, fixed-shape form (MGS needs a sequential scan;
+            # CGS2 has equivalent stability and is one matmul)
+            mask = (jnp.arange(m + 1) <= j)[:, None, None]
+            proj = jnp.einsum("ink,nk->ik", jnp.where(mask, V, 0.0), W)
+            W = W - jnp.einsum("ink,ik->nk", jnp.where(mask, V, 0.0), proj)
+            proj2 = jnp.einsum("ink,nk->ik", jnp.where(mask, V, 0.0), W)
+            W = W - jnp.einsum("ink,ik->nk", jnp.where(mask, V, 0.0), proj2)
+            hcol = proj + proj2  # (m+1, k)
+            h = jnp.linalg.norm(W, axis=0)
+            V = V.at[j + 1].set(jnp.where(h > 0, W / jnp.where(h > 0, h, 1.0), 0.0))
+            hcol = hcol.at[j + 1].set(h)
+
+            # apply the accumulated rotations sequentially
+            def rot(i, hc):
+                t = cs[i] * hc[i] + sn[i] * hc[i + 1]
+                hc = hc.at[i + 1].set(-sn[i] * hc[i] + cs[i] * hc[i + 1])
+                return hc.at[i].set(t)
+
+            hcol = jax.lax.fori_loop(0, j, rot, hcol)
+            a, bb = hcol[j], hcol[j + 1]
+            denom = jnp.sqrt(a**2 + bb**2)
+            safe_d = jnp.where(denom > 0, denom, 1.0)
+            cj = jnp.where(denom > 0, jnp.abs(a) / safe_d, 1.0)
+            sj = jnp.where(denom > 0, jnp.sign(a) * bb / safe_d, 0.0)
+            hcol = hcol.at[j].set(cj * a + sj * bb).at[j + 1].set(0.0)
+            cs = cs.at[j].set(cj)
+            sn = sn.at[j].set(sj)
+            g = g.at[j + 1].set(-sj * g[j])
+            g = g.at[j].set(cj * g[j])
+            H = H.at[:, j].set(hcol)
+            return V, H, cs, sn, g
+
+        V, H, cs, sn, g = jax.lax.fori_loop(
+            0, m, step, (V0, H0, cs0, sn0, g0)
+        )
+
+        # back substitution (fixed m)
+        def back(i_rev, y):
+            i = m - 1 - i_rev
+            num = g[i] - jnp.einsum("mk,mk->k", H[i], y)
+            hii = H[i, i]
+            return y.at[i].set(num / jnp.where(jnp.abs(hii) > 0, hii, 1.0))
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros((m, k), B.dtype))
+        Xn = X + jnp.einsum("mnk,mk->nk", V[:m], y)
+        res = jnp.abs(g[m]) / jnp.where(
+            jnp.linalg.norm(B, axis=0) > 0, jnp.linalg.norm(B, axis=0), 1.0
+        )
+        return Xn, jnp.max(res)
+
+    def cond(carry):
+        X, res, c = carry
+        return (res >= tol) & (c < max_cycles)
+
+    def body(carry):
+        X, _, c = carry
+        Xn, res = cycle(X)
+        return Xn, res, c + 1
+
+    @jax.jit
+    def run(B0):
+        X0 = jnp.zeros_like(B0)
+        X, res, c = jax.lax.while_loop(
+            cond, body, (X0, jnp.asarray(jnp.inf, B0.dtype), 0)
+        )
+        return X, c * m, res
+
+    X, iters, res = run(B)
+    return (X[:, 0] if was_vec else X), iters, res
 
 
 # ---------------------------------------------------------------------------

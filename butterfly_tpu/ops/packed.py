@@ -490,6 +490,10 @@ class StagePlan:
         y = self._apply_jit(self._params, xr)
         return y[:, 0] if was_vec else y
 
+    def matmat(self, X):
+        """Batched multi-RHS apply (alias of __call__ for solver interop)."""
+        return self(X)
+
     def materialize(self) -> np.ndarray:
         """Dense matrix of the packed op (for oracle tests)."""
         dt = self._io_dtype if self.real_embed else self.dtype
