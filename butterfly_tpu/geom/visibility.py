@@ -7,9 +7,20 @@ bfMatCsrRealNewViewFactorMatrixFromTrimesh src/mat_csr_real.c:407-440, both
 compiled only under BF_EMBREE). Here visibility is a batched Möller–Trumbore
 ray/triangle intersection evaluated as pure jnp array ops: a (rays x
 triangles) tile of intersection tests is one fused VPU computation, chunked
-to bound memory. No BVH is needed — on TPU the brute-force tile is
-bandwidth-cheap (every operand is reused across a full tile) and beats
-irregular tree traversal by orders of magnitude.
+to bound memory.
+
+Two regimes:
+
+- `ray_hits_any`: brute-force tiles. For small meshes the dense tile is
+  bandwidth-cheap (every operand is reused across a full tile) and beats
+  irregular tree traversal.
+- `CulledVisibility`: the Embree-BVH analogue, TPU style. Triangles are
+  grouped into octree-leaf AABBs host-side; a vectorized segment-vs-AABB
+  slab test (NumPy, O(rays x groups)) prunes which (ray-bucket x tri-group)
+  dense tiles run on device, and rays already known occluded are dropped
+  from later groups. Culling happens between *uniform tiles*, never inside
+  the kernel, so the device only ever sees static-shape batched work —
+  irregularity stays on the host where it is cheap.
 """
 
 from __future__ import annotations
@@ -20,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ray_hits_any", "segment_occluded"]
+__all__ = ["ray_hits_any", "segment_occluded", "CulledVisibility"]
 
 _EPS = 1e-9
 
@@ -93,19 +104,162 @@ def ray_hits_any(orig, dirs, tris, skip_idx=None, t_lo=1e-6, t_hi=1.0 - 1e-6,
     return out
 
 
-def segment_occluded(mesh, src_faces, tgt_faces, **kw):
+def _round_up_pow2(x: int, lo: int = 128) -> int:
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
+class CulledVisibility:
+    """Octree-culled occlusion queries over a fixed triangle set.
+
+    Build once per mesh; query with ray batches. The reference reaches the
+    same asymptotics through Embree's BVH (src/trimesh.c:460-490); here the
+    BVH role is played by an octree over triangle centroids whose leaves
+    become padded, static-shape triangle groups, and traversal is replaced by
+    a vectorized slab test + per-group dense Möller–Trumbore tiles.
+    """
+
+    def __init__(self, tris, leaf_size: int = 512, tri_idx=None):
+        from butterfly_tpu.trees.point_tree import Octree
+
+        tris = np.asarray(tris, dtype=np.float32)
+        F = tris.shape[0]
+        if tri_idx is None:
+            tri_idx = np.arange(F, dtype=np.int32)
+        self.num_tris = F
+        cent = tris.mean(axis=1).astype(np.float64)
+        tree = Octree(cent, leaf_size=leaf_size)
+        groups = []
+        for node in tree.post_order():
+            if node.is_leaf and node.num_points:
+                groups.append(
+                    np.asarray(tree.perm[node.i0:node.i1], dtype=np.int64)
+                )
+        # pad every group to one common size: ONE compiled tile shape total
+        pad = _round_up_pow2(max(g.size for g in groups), lo=64)
+        G = len(groups)
+        self.group_lo = np.empty((G, 3), dtype=np.float32)
+        self.group_hi = np.empty((G, 3), dtype=np.float32)
+        self._tri0 = np.zeros((G, pad, 3), dtype=np.float32)
+        self._edge1 = np.zeros((G, pad, 3), dtype=np.float32)
+        self._edge2 = np.zeros((G, pad, 3), dtype=np.float32)
+        self._tidx = np.full((G, pad), -2, dtype=np.int32)  # -2 = dead slot
+        for g, idx in enumerate(groups):
+            t = tris[idx]
+            verts = t.reshape(-1, 3)
+            self.group_lo[g] = verts.min(axis=0)
+            self.group_hi[g] = verts.max(axis=0)
+            k = idx.size
+            self._tri0[g, :k] = t[:, 0]
+            self._edge1[g, :k] = t[:, 1] - t[:, 0]
+            self._edge2[g, :k] = t[:, 2] - t[:, 0]
+            self._tidx[g, :k] = tri_idx[idx]
+        self.num_groups = G
+        self.group_pad = pad
+
+    def _candidate_mask(self, orig, dirs, t_lo, t_hi):
+        """(B, G) bool: may segment orig + t*dirs, t in (t_lo, t_hi),
+        intersect group g's AABB? Vectorized slab test."""
+        B = orig.shape[0]
+        lo = self.group_lo[None, :, :]  # (1, G, 3)
+        hi = self.group_hi[None, :, :]
+        o = orig[:, None, :].astype(np.float32)  # (B, 1, 3)
+        d = dirs[:, None, :].astype(np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (lo - o) / d
+            t2 = (hi - o) / d
+        near = np.minimum(t1, t2)
+        far = np.maximum(t1, t2)
+        # axis-parallel rays: slab is all-t if origin inside, empty if not
+        par = np.abs(d) <= 1e-12
+        inside = (o >= lo) & (o <= hi)
+        near = np.where(par, np.where(inside, -np.inf, np.inf), near)
+        far = np.where(par, np.where(inside, np.inf, -np.inf), far)
+        tmin = np.maximum(near.max(axis=-1), t_lo)
+        tmax = np.minimum(far.min(axis=-1), t_hi)
+        return tmin <= tmax  # (B, G)
+
+    def ray_hits_any(self, orig, dirs, skip_idx=None,
+                     t_lo: float = 1e-6, t_hi: float = 1.0 - 1e-6,
+                     ray_chunk: int = 16384):
+        """Per-ray occlusion over the culled structure; same semantics as the
+        module-level ray_hits_any."""
+        orig = np.asarray(orig, dtype=np.float32)
+        dirs = np.asarray(dirs, dtype=np.float32)
+        B = orig.shape[0]
+        if skip_idx is None:
+            skip_idx = np.full((B, 2), -1, dtype=np.int32)
+        skip_idx = np.asarray(skip_idx, dtype=np.int32)
+        out = np.zeros(B, dtype=bool)
+        for b0 in range(0, B, ray_chunk):
+            b1 = min(B, b0 + ray_chunk)
+            out[b0:b1] = self._hits_chunk(
+                orig[b0:b1], dirs[b0:b1], skip_idx[b0:b1], t_lo, t_hi
+            )
+        return out
+
+    def _hits_chunk(self, orig, dirs, skip_idx, t_lo, t_hi):
+        B = orig.shape[0]
+        cand = self._candidate_mask(orig, dirs, t_lo, t_hi)  # (B, G)
+        out = np.zeros(B, dtype=bool)
+        # visit dense groups first so the early-exit drops the most rays
+        order = np.argsort(-cand.sum(axis=0))
+        for g in order:
+            sel = np.nonzero(cand[:, g] & ~out)[0]
+            if sel.size == 0:
+                continue
+            m = _round_up_pow2(sel.size, lo=64)
+            pad_sel = np.pad(sel, (0, m - sel.size), mode="edge")
+            hits = np.asarray(
+                _hits_tile(
+                    jnp.asarray(orig[pad_sel]), jnp.asarray(dirs[pad_sel]),
+                    jnp.asarray(self._tri0[g]), jnp.asarray(self._edge1[g]),
+                    jnp.asarray(self._edge2[g]), jnp.asarray(self._tidx[g]),
+                    jnp.asarray(skip_idx[pad_sel]),
+                    t_lo=float(t_lo), t_hi=float(t_hi),
+                )
+            )
+            out[sel] |= hits[: sel.size]
+        return out
+
+
+def _mesh_culled(mesh, leaf_size: int = 512) -> CulledVisibility:
+    """Cached CulledVisibility for a mesh (built on first use)."""
+    cv = getattr(mesh, "_culled_vis", None)
+    if cv is None or cv.num_tris != mesh.num_faces:
+        cv = CulledVisibility(mesh.verts[mesh.faces], leaf_size=leaf_size)
+        try:
+            mesh._culled_vis = cv
+        except AttributeError:
+            pass
+    return cv
+
+
+def segment_occluded(mesh, src_faces, tgt_faces, culled: bool | None = None,
+                     **kw):
     """Is the centroid->centroid segment between face pairs blocked by the
     mesh (excluding the two endpoint faces)? src_faces/tgt_faces: (B,) ids.
 
     Reference behavior: bfTrimeshGetVisibility casts one ray per (src, tgt)
     face pair and filters out hits on the endpoints
     (src/trimesh.c:1612-1690).
+
+    culled=True routes through the octree-culled structure (cached on the
+    mesh); None picks it automatically for meshes past the brute-force
+    sweet spot.
     """
     src_faces = np.asarray(src_faces, dtype=np.int32)
     tgt_faces = np.asarray(tgt_faces, dtype=np.int32)
     cent = mesh.face_centroids()
     orig = cent[src_faces]
     dirs = cent[tgt_faces] - orig
-    tris = mesh.verts[mesh.faces]
     skip = np.stack([src_faces, tgt_faces], axis=1)
+    if culled is None:
+        culled = mesh.num_faces > 2048
+    if culled:
+        cv = _mesh_culled(mesh)
+        return cv.ray_hits_any(orig, dirs, skip_idx=skip, **kw)
+    tris = mesh.verts[mesh.faces]
     return ray_hits_any(orig, dirs, tris, skip_idx=skip, **kw)

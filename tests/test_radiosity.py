@@ -110,3 +110,48 @@ def test_radiosity_solve_converges():
     resid = B - (E + 0.4 * np.asarray(model.apply_F(B)))
     assert np.linalg.norm(resid) < 1e-8
     assert B[0] >= 1.0 and np.all(B >= -1e-12)
+
+
+def test_culled_visibility_matches_brute_force(rng):
+    """Octree-culled occlusion (the Embree-BVH analogue,
+    src/trimesh.c:460-490) agrees ray-for-ray with the dense tiles on a
+    random occluder field."""
+    from butterfly_tpu.geom.visibility import CulledVisibility
+
+    # random small triangles scattered in the unit cube
+    F = 400
+    c = rng.random((F, 1, 3))
+    tris = (c + 0.08 * (rng.random((F, 3, 3)) - 0.5)).astype(np.float64)
+    B = 300
+    orig = rng.random((B, 3))
+    dst = rng.random((B, 3))
+    dirs = dst - orig
+    skip = rng.integers(-1, F, (B, 2)).astype(np.int32)
+
+    want = ray_hits_any(orig, dirs, tris, skip_idx=skip)
+    cv = CulledVisibility(tris, leaf_size=32)
+    got = cv.ray_hits_any(orig, dirs, skip_idx=skip)
+    assert cv.num_groups > 4  # culling structure actually partitioned
+    np.testing.assert_array_equal(got, want)
+
+    # rays that never leave an empty corner touch zero groups
+    far_o = np.full((8, 3), 10.0)
+    far_d = np.tile(np.array([[0.0, 0.0, 1.0]]), (8, 1))
+    assert not cv.ray_hits_any(far_o, far_d).any()
+
+
+def test_culled_segment_occluded_on_mesh():
+    """The mesh-level query gives identical answers culled and brute-force,
+    and caches the culled structure on the mesh."""
+    mesh = _two_plates(gap=2.0)
+    v3 = np.array([[-1, -1, 1], [2, -1, 1], [2, 2, 1], [-1, 2, 1]],
+                  dtype=np.float64)
+    verts = np.vstack([mesh.verts, v3])
+    faces = np.vstack([mesh.faces, [[8, 9, 10], [8, 10, 11]]])
+    blocked = Trimesh(verts, faces)
+    src = np.array([0, 0, 1, 2])
+    tgt = np.array([2, 3, 3, 0])
+    brute = segment_occluded(blocked, src, tgt, culled=False)
+    culled = segment_occluded(blocked, src, tgt, culled=True)
+    np.testing.assert_array_equal(culled, brute)
+    assert hasattr(blocked, "_culled_vis")
