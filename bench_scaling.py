@@ -147,6 +147,10 @@ def main() -> None:
             "n_devices": n,
             "step_ms": round(t * 1e3, 3),
             "efficiency_vs_1dev": round(eff, 3),
+            # on a shared-core CPU host the n virtual devices serialize, so
+            # the meaningful bound is t(n) <= n*t(1): this field is ~1.0 when
+            # the exchange adds no overhead beyond the n-fold work
+            "efficiency_vs_serialized": round(n * t1 / t, 3),
             "backend": jax.default_backend(),
         }
         results.append(rec)
@@ -167,10 +171,24 @@ def main() -> None:
             "n_devices": n,
             "step_ms": round(t * 1e3, 3),
             "efficiency_vs_1dev": round(s1 / t, 3),
+            "efficiency_vs_serialized": round(n * s1 / t, 3),
             "backend": jax.default_backend(),
         }
         results.append(rec)
         print(json.dumps(rec), flush=True)
+    if jax.default_backend() == "cpu":
+        results.append({
+            "note": (
+                "backend=cpu: the n virtual devices share one host's cores, "
+                "so weak-scaling efficiency_vs_1dev is bounded by 1/n by "
+                "construction (n-fold total work on fixed silicon); it "
+                "validates the sharded program end-to-end, it does not "
+                "measure ICI. efficiency_vs_serialized ~1.0 means the "
+                "per-level exchange added no overhead beyond the n-fold "
+                "work. Real-ICI efficiency requires a pod slice; this box "
+                "exposes one chip."
+            )
+        })
     out = os.environ.get("SCALING_OUT")
     if out:
         with open(out, "w") as f:

@@ -18,6 +18,7 @@ Usage:
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -79,6 +80,15 @@ def run_one_level(args, rng) -> None:
     strict = recall_at_k(np.asarray(idx), exact_topk(table, q, 100))
     tolr = recall_with_tolerance(np.asarray(idx), true_scores, 100, tol=1e-3)
     print(f"recall@100: strict {strict:.4f}, tolerance {tolr:.4f}")
+    return {
+        "format": "one_level", "n": n, "d": d, "rank": args.rank,
+        "compression_ratio": round(
+            ct.nbytes() / table.astype(np.float32).nbytes, 4),
+        "queries_per_s": round(args.queries / dt),
+        "recall_at_100_strict": round(float(strict), 4),
+        "recall_at_100_tol1e3": round(float(tolr), 4),
+        "device": str(jax.devices()[0]),
+    }
 
 
 def run_deep(args, rng) -> None:
@@ -122,6 +132,15 @@ def run_deep(args, rng) -> None:
           f"{dtm*1e3:.1f} ms ({args.queries/dtm:.0f} queries/s)")
     rec = recall_at_k(np.asarray(idx), exact_topk(table, q, 100))
     print(f"deep recall@100: {rec:.4f}")
+    return {
+        "format": "deep_butterfly", "n": n, "tol": args.tol,
+        "device_mb": round(dt_table.nbytes() / 1e6, 1),
+        "one_level_mb_same_tol": round(one_bytes / 1e6, 1),
+        "deep_over_one_level": round(dt_table.nbytes() / one_bytes, 3),
+        "queries_per_s": round(args.queries / dtm),
+        "recall_at_100_strict": round(float(rec), 4),
+        "device": str(jax.devices()[0]),
+    }
 
 
 def main() -> None:
@@ -132,14 +151,24 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--deep", action="store_true")
     ap.add_argument("--tol", type=float, default=1e-4)
+    ap.add_argument("--json", type=str, default=None,
+                    help="append the run's metrics to this JSON file")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     if args.deep:
         if args.n > 65536:
             args.n = 8192  # wide table is n x n; keep the dense oracle sane
-        run_deep(args, rng)
+        rec = run_deep(args, rng)
     else:
-        run_one_level(args, rng)
+        rec = run_one_level(args, rng)
+    if args.json:
+        records = []
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                records = json.load(f)
+        records.append(rec)
+        with open(args.json, "w") as f:
+            json.dump(records, f, indent=1)
 
 
 if __name__ == "__main__":
