@@ -289,7 +289,7 @@ def main() -> None:
                 return jnp.sum(out)
             return lambda: float(rep(plan_D._params, xD))
 
-        t_D = slope_time(make_rep_D, 4, 24)
+        t_D = slope_time(make_rep_D, 32, 192)
         flops_D = plan_D.stats.useful_flops_per_col * rD
         tflops_D = flops_D / t_D / 1e12
         xs = np.asarray(xD[:, :4], dtype=np.float64)
@@ -350,7 +350,7 @@ def main() -> None:
                 return jnp.sum(out)
             return lambda: float(rep(plan_E._params, xr))
 
-        t_E = slope_time(make_rep_E, 4, 24)
+        t_E = slope_time(make_rep_E, 16, 96)
         flops_E = plan_E.stats.useful_flops_per_col * rE
         tflops_E = flops_E / t_E / 1e12
         got = np.asarray(plan_E(xE[:, :2]))

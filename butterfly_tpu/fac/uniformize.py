@@ -156,6 +156,7 @@ def uniformize(
     dtype=None,
     block_align: int | None = None,
     real_embed: bool | None = None,
+    precision: str | None = "highest",
 ) -> StagePlan:
     """Compile a factorization-engine output into its device apply plan.
 
@@ -177,7 +178,7 @@ def uniformize(
             [e for e in ests if e.block_align == block_align][0].num_buckets,
         )
     plan = pack(op, dtype=dtype, block_align=block_align,
-                real_embed=real_embed)
+                real_embed=real_embed, precision=precision)
     log_info(
         "uniformize: %d stages, %d gemm buckets, padding waste %.1f%%, "
         "%.1f MB weights",

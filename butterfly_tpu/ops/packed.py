@@ -204,17 +204,15 @@ def _round_up(x: int, align: int) -> int:
 
 @dataclasses.dataclass
 class _GemmBucket:
-    """Every GEMM unit reads/writes a CONTIGUOUS row range of its buffer, so
-    a bucket carries per-block START offsets, not per-row index tables: the
-    gather is a vmapped dynamic_slice of (k_pad, r) windows and the scatter
-    is a windowed scatter-add of (m_pad, r) windows — block-granular DMA
-    instead of row-granular gather (measured ~30x faster on TPU). Padded
-    window rows read neighbor data times ZERO weight columns / write zero
-    rows, so correctness needs only zeroed tail padding on every buffer."""
+    """Every GEMM unit reads/writes a CONTIGUOUS row range of its buffer in
+    the op's LOGICAL coordinates; the executor compiles these into unrolled
+    activation layouts + one exchange take per stage (see _apply_plan)."""
 
     weights: jnp.ndarray  # (B, m_pad, k_pad) padded, pad entries zero
-    in_start: jnp.ndarray  # (B,) int32 row starts into the read buffer
-    out_start: jnp.ndarray  # (B,) int32 row starts into the write buffer
+    in_start: np.ndarray  # (B,) int32 logical row starts (read side)
+    out_start: np.ndarray  # (B,) int32 logical row starts (write side)
+    mms: np.ndarray  # (B,) true (unpadded) output rows per unit
+    kks: np.ndarray  # (B,) true (unpadded) input rows per unit
     read_buf: int
     write_buf: int
     flops_real: int  # unpadded useful flops per RHS column (x2 for mul-add)
@@ -255,8 +253,17 @@ class StagePlan:
     """
 
     def __init__(self, op: L.LinOp, dtype=None, block_align: int = 128,
-                 real_embed: bool | None = None):
+                 real_embed: bool | None = None,
+                 precision: str | None = "highest"):
         m, n = op.shape
+        # Packed plans serve the ACCURACY-critical factorized-operator path
+        # (the throughput flagship is the uniform butterfly kernel), and they
+        # are overhead/bandwidth-bound, so full-f32 MXU passes are close to
+        # free: default to HIGHEST so the device apply holds the reference's
+        # rel-err budget (TPU default matmul precision is bf16-grade).
+        self._precision = (
+            None if precision is None else jax.lax.Precision(precision)
+        )
         self.shape = (m, n)
         op_complex = np.issubdtype(op.dtype, np.complexfloating)
         if dtype is None:
@@ -366,38 +373,36 @@ class StagePlan:
         for (t, write_buf, w, iix, oix) in raw_scales:
             scale_groups.setdefault((t, write_buf), []).append((w, iix, oix))
 
-        # Materialize buckets (device arrays). Gather/scatter windows may run
-        # up to (k_pad - 1) / (m_pad - 1) rows past a buffer's logical end, so
-        # every buffer gets a zeroed tail of at least that many rows (the tail
-        # also provides the scale units' zero/dump slot row).
+        # Materialize buckets. Weights are zero-padded to the bucket tile, so
+        # padded input rows multiply zero columns and padded output rows are
+        # exact zeros — the executor's index tables exploit both.
         self._gemm_buckets: list[_GemmBucket] = []
         self._scale_buckets: list[_ScaleBucket] = []
-        tails: dict[int, int] = {}  # buffer id (-1 = output) -> tail rows
         useful = 0
         padded = 0
         weight_bytes = 0
         for (t, wb, mp, kp), units in sorted(gemm_groups.items()):
             B = len(units)
             W = np.zeros((B, mp, kp), dtype=self.dtype)
-            in_start = np.zeros(B, dtype=np.int32)
-            out_start = np.zeros(B, dtype=np.int32)
+            in_start = np.zeros(B, dtype=np.int64)
+            out_start = np.zeros(B, dtype=np.int64)
+            mms = np.zeros(B, dtype=np.int64)
+            kks = np.zeros(B, dtype=np.int64)
             fl = 0
             for b, (data, jbase, ibase) in enumerate(units):
                 mm, kk = data.shape
                 W[b, :mm, :kk] = data
                 in_start[b] = jbase
                 out_start[b] = ibase
+                mms[b] = mm
+                kks[b] = kk
                 fl += 2 * mm * kk
-            tails[t] = max(tails.get(t, 1), kp)
-            tails[wb] = max(tails.get(wb, 1), mp)
             useful += fl
             padded += 2 * B * mp * kp
             weight_bytes += W.nbytes
             self._gemm_buckets.append(
-                _GemmBucket(
-                    jnp.asarray(W), jnp.asarray(in_start),
-                    jnp.asarray(out_start), t, wb, fl,
-                )
+                _GemmBucket(jnp.asarray(W), in_start, out_start, mms, kks,
+                            t, wb, fl)
             )
         for (t, wb), units in sorted(scale_groups.items()):
             wts = np.concatenate([np.asarray(w) for w, _, _ in units])
@@ -406,9 +411,7 @@ class StagePlan:
             self._scale_buckets.append(
                 _ScaleBucket(
                     jnp.asarray(wts.astype(self.dtype)),
-                    jnp.asarray(iix.astype(np.int32)),
-                    jnp.asarray(oix.astype(np.int32)),
-                    t, wb,
+                    iix.astype(np.int64), oix.astype(np.int64), t, wb,
                 )
             )
 
@@ -422,36 +425,136 @@ class StagePlan:
             padding_waste=1.0 - useful / max(padded, 1),
         )
         self.num_stages = num_stages
+
+        # -- compile the buckets into the exchange-table executor ----------
+        # Per stage, activations live UNROLLED: every unit's (padded) input
+        # window is a contiguous region, so reads are static slices and the
+        # whole inter-stage re-blocking (the butterfly exchange) is ONE take
+        # with a precomputed (rows, c_max) table into the previous stage's
+        # concatenated outputs, followed by a length-c_max dense sum for rows
+        # with multiple contributors. No scatter anywhere.
         # CRITICAL TPU detail: weights and index tables are passed as jit
         # ARGUMENTS, never closure constants — XLA:TPU compiles embedded
         # constant gathers to a pathological path ~400x slower (measured).
+
+        # read_coords[t]: logical coordinate each unrolled activation row of
+        #   stage t wants (-1 = guaranteed zero).
+        # write maps[t][target]: per logical coordinate, the y_cat row ids
+        #   produced at stage t that accumulate there.
+        read_coords: list[np.ndarray] = []
+        stage_metas = []
+        stage_weights = []
+        writer_lists: list[dict[int, tuple[np.ndarray, np.ndarray]]] = []
+        for t in range(num_stages):
+            coords_list: list[np.ndarray] = []
+            gemm_metas: list[_StageGemm] = []
+            Ws: list = []
+            scale_metas: list[_StageScale] = []
+            ws: list = []
+            # (target) -> list of (y_row_ids, logical coords) contributions
+            wl: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+            in_off = 0
+            y_off = 0
+            for b in self._gemm_buckets:
+                if b.read_buf != t:
+                    continue
+                B, mp, kp = b.weights.shape
+                c = b.in_start[:, None] + np.arange(kp)[None, :]
+                c[np.arange(kp)[None, :] >= b.kks[:, None]] = -1
+                coords_list.append(c.reshape(-1))
+                gemm_metas.append(_StageGemm(in_off, B, mp, kp, b.write_buf))
+                in_off += B * kp
+                Ws.append(b.weights)
+                o = b.out_start[:, None] + np.arange(mp)[None, :]
+                valid = np.arange(mp)[None, :] < b.mms[:, None]
+                rid = y_off + np.arange(B * mp).reshape(B, mp)
+                wl.setdefault(b.write_buf, []).append(
+                    (rid[valid], o[valid])
+                )
+                y_off += B * mp
+            for b in self._scale_buckets:
+                if b.read_buf != t:
+                    continue
+                S = int(b.in_idx.shape[0])
+                coords_list.append(b.in_idx)
+                scale_metas.append(_StageScale(in_off, S, b.write_buf))
+                in_off += S
+                ws.append(b.weights)
+                wl.setdefault(b.write_buf, []).append(
+                    (y_off + np.arange(S), b.out_idx)
+                )
+                y_off += S
+            read_coords.append(
+                np.concatenate(coords_list)
+                if coords_list else np.zeros(0, np.int64)
+            )
+            writer_lists.append(
+                {wb: (np.concatenate([r for r, _ in ps]),
+                      np.concatenate([c for _, c in ps]))
+                 for wb, ps in wl.items()}
+            )
+            stage_metas.append(
+                _StageMeta(gemms=tuple(gemm_metas), scales=tuple(scale_metas),
+                           y_rows=y_off)
+            )
+            stage_weights.append((Ws, ws))
+
+        def _build_map(rids, coords, size, zero_id):
+            """(size, c_max) table of y_cat row ids per logical coordinate."""
+            ok = (coords >= 0) & (coords < size)
+            rids, coords = rids[ok], coords[ok]
+            order = np.argsort(coords, kind="stable")
+            rids, coords = rids[order], coords[order]
+            counts = np.bincount(coords, minlength=size)
+            c_max = max(1, int(counts.max(initial=0)))
+            tab = np.full((size, c_max), zero_id, dtype=np.int64)
+            slot = np.arange(rids.size) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+            )
+            tab[coords, slot] = rids
+            return tab
+
+        stage_params = []
+        for t in range(num_stages):
+            Ws, ws = stage_weights[t]
+            zero_id = stage_metas[t].y_rows
+            # out contribution table for this stage
+            wmap = writer_lists[t]
+            out_tab = None
+            if -1 in wmap:
+                rids, coords = wmap[-1]
+                out_tab = jnp.asarray(_build_map(
+                    rids, coords, self.out_size, zero_id).astype(np.int32))
+            # next stage's unrolled read table (composed through this
+            # stage's write map over buffer t+1's logical coordinates)
+            next_tab = None
+            if t + 1 < num_stages:
+                size = self.buf_sizes[t + 1]
+                M = _build_map(*wmap.get(t + 1, (np.zeros(0, np.int64),
+                                                 np.zeros(0, np.int64))),
+                               size=size, zero_id=zero_id)
+                rc = read_coords[t + 1]
+                ok = (rc >= 0) & (rc < size)
+                F = np.full((rc.size, M.shape[1]), zero_id, dtype=np.int64)
+                F[ok] = M[rc[ok]]
+                next_tab = jnp.asarray(F.astype(np.int32))
+            stage_params.append((Ws, ws, out_tab, next_tab))
+
+        # stage-0 input table: unrolled read layout straight from x (whose
+        # device length is buf_sizes[0] — 2n when real-embedded)
+        n_in = self.buf_sizes[0]
+        rc0 = read_coords[0] if num_stages else np.zeros(0, np.int64)
+        idx0 = np.where((rc0 >= 0) & (rc0 < n_in), rc0, n_in)
+        self._params = (jnp.asarray(idx0.astype(np.int32)), stage_params)
+
         meta = _PlanMeta(
             num_stages=num_stages,
-            buf_sizes=tuple(self.buf_sizes),
-            buf_tails=tuple(
-                tails.get(t, 1) for t in range(len(self.buf_sizes))
-            ),
             out_size=self.out_size,
-            out_tail=tails.get(-1, 1),
             dtype=self.dtype,
-            gemm_meta=tuple(
-                (b.read_buf, b.write_buf) for b in self._gemm_buckets
-            ),
-            scale_meta=tuple(
-                (b.read_buf, b.write_buf) for b in self._scale_buckets
-            ),
-        )
-        self._params = (
-            [(b.weights, b.in_start, b.out_start) for b in self._gemm_buckets],
-            [(b.weights, b.in_idx, b.out_idx) for b in self._scale_buckets],
+            precision=self._precision,
+            stages=tuple(stage_metas),
         )
         self._apply_jit = jax.jit(partial(_apply_plan, meta))
-
-    def _zero_slot(self, read_buf: int) -> int:
-        return self.buf_sizes[read_buf]
-
-    def _dump_slot(self, write_buf: int) -> int:
-        return self.out_size if write_buf == -1 else self.buf_sizes[write_buf]
 
     # -- application ----------------------------------------------------
 
@@ -501,89 +604,100 @@ class StagePlan:
 
 
 @dataclasses.dataclass(frozen=True)
+class _StageGemm:
+    """One GEMM bucket inside a stage program (static part)."""
+
+    in_off: int   # row offset of this bucket's windows inside g_all
+    B: int
+    mp: int
+    kp: int
+    target: int   # -1 = output, else the next buffer id
+
+
+@dataclasses.dataclass(frozen=True)
+class _StageScale:
+    in_off: int
+    count: int
+    target: int
+
+
+@dataclasses.dataclass(frozen=True)
+class _StageMeta:
+    gemms: tuple    # tuple[_StageGemm, ...]
+    scales: tuple   # tuple[_StageScale, ...]
+    y_rows: int     # rows of this stage's concatenated output y_cat
+
+
+@dataclasses.dataclass(frozen=True)
 class _PlanMeta:
     """Static plan topology captured by the jit closure (hashable, no arrays)."""
 
     num_stages: int
-    buf_sizes: tuple
-    buf_tails: tuple
     out_size: int
-    out_tail: int
     dtype: object
-    gemm_meta: tuple  # ((read_buf, write_buf), ...)
-    scale_meta: tuple
+    precision: object
+    stages: tuple  # tuple[_StageMeta, ...]
 
 
-def _gather_windows(buf, starts, kp):
-    """(B,) starts -> (B, kp, r) contiguous row windows of buf."""
-    r = buf.shape[1]
-    return jax.vmap(
-        lambda s: jax.lax.dynamic_slice(buf, (s, jnp.int32(0)), (kp, r))
-    )(starts)
-
-
-def _scatter_add_windows(buf, starts, upd):
-    """buf[starts[b]:starts[b]+mp] += upd[b] for every block b (overlaps
-    accumulate; windows are in-bounds by the buffer-tail construction)."""
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2),
-        inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0,),
-    )
-    return jax.lax.scatter_add(
-        buf, starts[:, None], upd, dnums,
-        indices_are_sorted=False, unique_indices=False,
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )
+def _take_sum(y_ext, tab, r):
+    """tab: (rows, c_max) ids into y_ext; rows with fewer contributors point
+    at the trailing zero row. Returns the (rows, r) accumulation as dense
+    take(+sum) — no scatter."""
+    c = tab.shape[1]
+    if c == 1:
+        return jnp.take(y_ext, tab[:, 0], axis=0)
+    g = jnp.take(y_ext, tab.reshape(-1), axis=0)
+    return g.reshape(tab.shape[0], c, r).sum(axis=1)
 
 
 def _apply_plan(meta: _PlanMeta, params, x: jnp.ndarray) -> jnp.ndarray:
-    """The staged executor; all arrays arrive as traced jit arguments."""
-    gemm_params, scale_params = params
+    """The staged executor; all arrays arrive as traced jit arguments.
+
+    Activations live UNROLLED per stage: every GEMM unit's padded input
+    window is a contiguous slice, so bucket reads are free, each bucket is
+    one batched MXU einsum, and the entire inter-stage re-blocking (the
+    butterfly exchange) is ONE precomputed take (+ a length-c_max dense sum
+    where block rows genuinely accumulate, e.g. radix-2 butterfly factors).
+    There is no scatter anywhere. This shape matters on TPU: the original
+    per-bucket vmap(dynamic_slice) + scatter-add executor measured 100x the
+    op's speed of light on ragged multilevel chains (43 buckets x 5 stages:
+    29.5 ms vs the 0.26 ms roofline); this executor is within a small factor
+    of the roofline (gather granularity is the remaining cost)."""
+    idx0, stage_params = params
     r = x.shape[1]
     dt = meta.dtype
-    # buffers carry a zeroed tail (window slack + the scale zero/dump row)
-    bufs: list = [None] * len(meta.buf_sizes)
-    bufs[0] = jnp.concatenate(
-        [x.astype(dt), jnp.zeros((meta.buf_tails[0], r), dtype=dt)], axis=0
+    x_ext = jnp.concatenate(
+        [x.astype(dt), jnp.zeros((1, r), dtype=dt)], axis=0
     )
-    out = jnp.zeros((meta.out_size + meta.out_tail, r), dtype=dt)
+    g = jnp.take(x_ext, idx0, axis=0)
+    out = jnp.zeros((meta.out_size, r), dtype=dt)
 
-    for t in range(meta.num_stages):
-        # allocate the NEXT intermediate buffer lazily as an accumulator
-        if t + 1 < len(meta.buf_sizes) and bufs[t + 1] is None:
-            bufs[t + 1] = jnp.zeros(
-                (meta.buf_sizes[t + 1] + meta.buf_tails[t + 1], r), dtype=dt
+    for t, sm in enumerate(meta.stages):
+        Ws, ws, out_tab, next_tab = stage_params[t]
+        pieces = []
+        for gm, W in zip(sm.gemms, Ws):
+            gi = g[gm.in_off:gm.in_off + gm.B * gm.kp]
+            y = jnp.einsum(
+                "bmk,bkr->bmr", W, gi.reshape(gm.B, gm.kp, r),
+                preferred_element_type=dt, precision=meta.precision,
             )
-        for (read_buf, write_buf), (W, in_start, out_start) in zip(
-            meta.gemm_meta, gemm_params
-        ):
-            if read_buf != t:
-                continue
-            kp = W.shape[2]
-            g = _gather_windows(bufs[t], in_start, kp)  # (B, kp, r)
-            y = jnp.einsum("bmk,bkr->bmr", W, g, preferred_element_type=dt)
-            if write_buf == -1:
-                out = _scatter_add_windows(out, out_start, y)
-            else:
-                bufs[write_buf] = _scatter_add_windows(
-                    bufs[write_buf], out_start, y
-                )
-        for (read_buf, write_buf), (w, in_idx, out_idx) in zip(
-            meta.scale_meta, scale_params
-        ):
-            if read_buf != t:
-                continue
-            vals = jnp.take(bufs[t], in_idx, axis=0) * w[:, None]
-            if write_buf == -1:
-                out = out.at[out_idx].add(vals)
-            else:
-                bufs[write_buf] = bufs[write_buf].at[out_idx].add(vals)
-    return out[: meta.out_size]
+            pieces.append(y.reshape(gm.B * gm.mp, r))
+        for scm, w in zip(sm.scales, ws):
+            pieces.append(g[scm.in_off:scm.in_off + scm.count] * w[:, None])
+        y_cat = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
+        y_ext = jnp.concatenate(
+            [y_cat, jnp.zeros((1, r), dtype=dt)], axis=0
+        )
+        if out_tab is not None:
+            out = out + _take_sum(y_ext, out_tab, r)
+        if next_tab is not None:
+            g = _take_sum(y_ext, next_tab, r)
+    return out
 
 
 def pack(op: L.LinOp, dtype=None, block_align: int = 128,
-         real_embed: bool | None = None) -> StagePlan:
+         real_embed: bool | None = None,
+         precision: str | None = "highest") -> StagePlan:
     """Compile a LinOp into its packed device plan."""
     return StagePlan(op, dtype=dtype, block_align=block_align,
-                     real_embed=real_embed)
+                     real_embed=real_embed, precision=precision)
