@@ -1,0 +1,245 @@
+"""Distill ANY butterfly-compressible operator into a UniformButterfly.
+
+The streaming factorizer (fac/streamer.py) and the analytic Helmholtz engine
+(fac/helm2.py) produce *ragged* factorizations — data-dependent ranks per
+block, exactly like the reference's BfFac output (include/bf/fac.h:33-42).
+Ragged plans apply through ops/packed.py as a handful of batched GEMMs per
+stage, but the flagship fused Pallas kernel (ops/pallas_butterfly.py) and the
+explicit-exchange sharded apply (parallel/shmap_butterfly.py) both require
+the UNIFORM FFT-form format. This module closes that gap: it re-compresses a
+real operator directly into fixed-rank FFT form via the standard
+complementary-low-rank merge recursion — the same nested-basis idea as the
+reference's randomized middle-out sampler
+(examples/fast_direct_solver/fast_direct_solver.py:404-607) and the
+merge-and-split core (src/fac.c:1080-1294), but with every level emitted as
+one dense (hi, R, R, lo, r, r) tensor instead of a ragged block graph.
+
+Construction (host, float64, setup-time):
+
+  state t: for every pair (row node w at depth t, col node C at depth L-t)
+  we hold a row basis U[w,C] (|w| x r) with Phi[w, C] ~= U[w,C] @ coef,
+  where coef = the r activation values the butterfly carries for that pair.
+
+  - leaf: truncated SVD of each column block Phi[:, c] ~= (U S) V^T; the
+    leaf factor stores V^T (r x cs); the SCALED basis B = U S seeds the
+    recursion (row node = root). Scaling matters: carrying S in the basis
+    makes every later truncation rank directions by actual data magnitude
+    instead of by how often a direction is duplicated across siblings.
+  - level t: merge col siblings (d = 0, 1) and split the row node into its
+    children (new output digit c): the stacked scaled basis
+    T = [B[w,c0]|child rows, B[w,c1]|child rows] spans Phi[w_child, C]'s
+    column space; its rank-r truncated SVD T ~= (U' S') G gives the new
+    scaled basis B' = U' S' and the orthonormal r x 2r transfer matrix G
+    that becomes the level weight.
+  - last level: no re-truncation — the weight is T itself, i.e. the output
+    rows.
+
+Block-index bookkeeping: the col path enters the block index naturally, so
+the OUTPUT block order is the bit-reversed row-block order — the classic FFT
+decimation reordering. `DistilledButterfly.row_perm` carries the
+permutation, mirroring how every reference tree owns a domain<->tree BfPerm
+(include/bf/tree.h:30-39): apply() returns rows in butterfly order and
+`apply_permuted` / consumers gather through row_perm when canonical order
+matters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from butterfly_tpu.ops.butterfly import UniformButterfly
+from butterfly_tpu.ops.linop import LinOp
+from butterfly_tpu.utils.errors import InvalidArgumentsError, check
+
+__all__ = ["DistilledButterfly", "distill_butterfly"]
+
+
+def _svd(T: np.ndarray):
+    """SVD with a gesvd fallback (gesdd occasionally fails to converge on
+    rank-deficient stacked bases — same LAPACK caveat the reference hits via
+    LAPACKE_zgesvd, src/mat_dense_complex.c:1550)."""
+    try:
+        return np.linalg.svd(T, full_matrices=False)
+    except np.linalg.LinAlgError:
+        import scipy.linalg
+
+        return scipy.linalg.svd(T, full_matrices=False,
+                                lapack_driver="gesvd")
+
+
+def _revbits(x: int, nbits: int) -> int:
+    y = 0
+    for _ in range(nbits):
+        y = (y << 1) | (x & 1)
+        x >>= 1
+    return y
+
+
+@dataclasses.dataclass
+class DistilledButterfly:
+    """A UniformButterfly + the row-block permutation tying it to the
+    original operator: bf.apply(x)[g*bs:(g+1)*bs] reproduces the rows of
+    original block revbits(g), i.e.  A[row_perm] @ x == bf.apply(x)."""
+
+    bf: UniformButterfly
+    row_perm: np.ndarray       # (n,) butterfly-row -> original-row index
+    rank: int
+    max_sv_discarded: float    # max singular value dropped by any truncation
+    sigma_max: float = 0.0     # largest leaf singular value (scale estimate)
+
+    @property
+    def shape(self):
+        return self.bf.shape
+
+    def apply(self, x):
+        """Apply in butterfly row order (rows permuted by row_perm)."""
+        return self.bf.apply(x)
+
+    def apply_canonical(self, x):
+        """Apply and restore the original row order (one device gather)."""
+        import jax.numpy as jnp
+
+        y = self.bf.apply(x)
+        inv = np.empty_like(self.row_perm)
+        inv[self.row_perm] = np.arange(self.row_perm.size)
+        return jnp.take(y, jnp.asarray(inv), axis=0)
+
+    def nbytes(self) -> int:
+        return self.bf.nbytes()
+
+
+def _col_block(A, j0: int, j1: int) -> np.ndarray:
+    """Dense (n, j1-j0) column block of an ndarray or LinOp (for a
+    compressed LinOp this is a cheap fac apply to unit columns)."""
+    if isinstance(A, np.ndarray):
+        return np.asarray(A[:, j0:j1], dtype=np.float64)
+    n, m = A.shape
+    E = np.zeros((m, j1 - j0))
+    E[np.arange(j0, j1), np.arange(j1 - j0)] = 1.0
+    return np.asarray(A.matmat(E), dtype=np.float64)
+
+
+def distill_butterfly(
+    A,
+    num_blocks: int,
+    rank: int | None = None,
+    dtype=np.float32,
+    tol: float = 1e-6,
+) -> DistilledButterfly:
+    """Compress a real (n, m) operator into a rank-`rank` UniformButterfly
+    with `num_blocks` blocks (power of 2; n and m divisible by it).
+
+    A may be a dense ndarray or any real LinOp (e.g. a streamed
+    PartialFac's as_linop() — re-compressing an already-compressed operator
+    costs one cheap fac apply per column block).
+
+    rank=None picks the rank adaptively: start at leaf width + 16 and
+    double the margin until every truncation's dropped singular value is
+    below tol * (largest leaf singular value) — the same
+    relative-truncation criterion as the streamer's truncated_svd
+    (reference: bfTruncSpecGetNumTerms, src/linalg.c:26-35).
+    """
+    if rank is None:
+        cs0 = A.shape[1] // num_blocks
+        margin = 16
+        while True:
+            d = distill_butterfly(A, num_blocks, cs0 + margin, dtype, tol)
+            if (d.max_sv_discarded <= tol * max(d.sigma_max, 1e-300)
+                    or cs0 + margin >= min(A.shape)):
+                return d
+            margin *= 2
+    n, m = A.shape
+    NB = num_blocks
+    check(NB >= 2 and (NB & (NB - 1)) == 0,
+          "num_blocks must be a power of 2", InvalidArgumentsError)
+    check(n % NB == 0 and m % NB == 0,
+          f"n={n}, m={m} must divide num_blocks={NB}", InvalidArgumentsError)
+    L = int(round(math.log2(NB)))
+    cs, bs = m // NB, n // NB
+    r = rank
+    check(r >= 1, "rank must be >= 1", InvalidArgumentsError)
+    if isinstance(A, LinOp):
+        check(not np.issubdtype(A.dtype, np.complexfloating),
+              "distill_butterfly is real-only (embed complex ops first)",
+              InvalidArgumentsError)
+
+    max_dropped = 0.0
+    sigma_max = 0.0
+
+    # ---- leaf: per col block, Phi[:, c] ~= U_c @ Vt_c ------------------
+    leaf = np.zeros((NB, r, cs))
+    U = []  # state t=0: U[g] is (n, r), g = col leaf index
+    for c in range(NB):
+        blk = _col_block(A, c * cs, (c + 1) * cs)
+        Uc, s, Vt = _svd(blk)
+        if s.size:
+            sigma_max = max(sigma_max, float(s[0]))
+        k = min(r, s.size)
+        if s.size > k:
+            max_dropped = max(max_dropped, float(s[k]))
+        # carry the SCALED basis B = U diag(s) so later truncations rank
+        # directions by actual data magnitude; the emitted factor is the
+        # orthonormal part
+        leaf[c, :k, :] = Vt[:k]
+        Ug = np.zeros((n, r))
+        Ug[:, :k] = Uc[:, :k] * s[:k]
+        U.append(Ug)
+
+    # ---- levels --------------------------------------------------------
+    levels = []
+    for t in range(L):
+        hi, lo = NB // 2 ** (t + 1), 2 ** t
+        rows_w = n // 2 ** t       # rows per row node at depth t
+        half = rows_w // 2
+        last = t == L - 1
+        m_out = bs if last else r
+        W = np.zeros((hi, 2, 2, lo, m_out, r))
+        U_new = [None] * NB
+        del rows_w  # U[g] is already restricted to its row node's rows
+        for h in range(hi):
+            for ll in range(lo):
+                g0 = (h * 2 + 0) * lo + ll
+                g1 = (h * 2 + 1) * lo + ll
+                for b in (0, 1):             # row child = output digit c
+                    sl = slice(b * half, (b + 1) * half)
+                    T = np.concatenate([U[g0][sl], U[g1][sl]], axis=1)
+                    if last:
+                        # final level: weights ARE the output rows
+                        W[h, b, 0, ll] = T[:, :r]
+                        W[h, b, 1, ll] = T[:, r:]
+                        continue
+                    Ut, s, Vt = _svd(T)
+                    k = min(r, s.size)
+                    if s.size > k:
+                        max_dropped = max(max_dropped, float(s[k]))
+                    G = Vt[:k]                        # (k, 2r) orthonormal
+                    W[h, b, 0, ll, :k, :] = G[:, :r]
+                    W[h, b, 1, ll, :k, :] = G[:, r:]
+                    Un = np.zeros((half, r))
+                    Un[:, :k] = Ut[:, :k] * s[:k]     # scaled basis
+                    g_out = (h * lo * 2) + b * lo + ll  # == h*2^{t+1}+b*2^t+ll
+                    U_new[g_out] = Un
+        if not last:
+            U = U_new
+        levels.append(W)
+
+    # output block g holds original row block revbits(g)
+    row_perm = np.concatenate([
+        np.arange(_revbits(g, L) * bs, (_revbits(g, L) + 1) * bs)
+        for g in range(NB)
+    ])
+
+    import jax.numpy as jnp
+
+    bf = UniformButterfly(
+        jnp.asarray(leaf.astype(dtype)),
+        [jnp.asarray(W.astype(dtype)) for W in levels],
+        radix=2,
+    )
+    return DistilledButterfly(
+        bf=bf, row_perm=row_perm, rank=r, max_sv_discarded=max_dropped,
+        sigma_max=sigma_max,
+    )

@@ -40,6 +40,8 @@ from butterfly_tpu.utils.logging import log_info
 
 __all__ = [
     "uniformize",
+    "uniformize_fused",
+    "FusedFacPlan",
     "choose_block_align",
     "AlignEstimate",
     "fac_block_stats",
@@ -151,12 +153,106 @@ def choose_block_align(
     return best.block_align, ests
 
 
+class FusedFacPlan:
+    """A REAL factorized operator re-compressed to FFT form and compiled
+    through the fused Pallas butterfly kernel (ops/pallas_butterfly.py).
+
+    This is the fast path for the reference's metric-critical product apply
+    (src/fac.c:133-146): instead of one batched einsum per ragged stage
+    (StagePlan), the whole operator runs as O(1) fused VMEM-resident passes.
+    Rows come out in butterfly (bit-reversed-block) order; apply() restores
+    canonical order with one device gather, apply_butterfly_order() skips it
+    (order-free consumers: norms, top-k after id-mapping, chained scoring).
+    """
+
+    def __init__(self, dist, fuse: int = 8, r_tile: int = 256,
+                 act_dtype=None, interpret: bool | None = None):
+        import jax.numpy as jnp
+
+        from butterfly_tpu.ops.pallas_butterfly import FusedButterflyPlan
+
+        self.dist = dist
+        self.plan = FusedButterflyPlan(dist.bf, fuse=fuse, r_tile=r_tile,
+                                       act_dtype=act_dtype,
+                                       interpret=interpret)
+        inv = np.empty_like(dist.row_perm)
+        inv[dist.row_perm] = np.arange(dist.row_perm.size)
+        self._inv_perm = jnp.asarray(inv.astype(np.int32))
+        self.shape = dist.bf.shape
+        self.rank = dist.rank
+
+    def apply_butterfly_order(self, x):
+        return self.plan.apply(x)
+
+    def apply(self, x):
+        import jax.numpy as jnp
+
+        return jnp.take(self.plan.apply(x), self._inv_perm, axis=0)
+
+    def __call__(self, x):
+        return self.apply(x)
+
+    def matmat(self, X):
+        return self.apply(X)
+
+    def flops_per_col(self) -> int:
+        return self.dist.bf.flops_per_col()
+
+    def nbytes(self) -> int:
+        return self.plan.nbytes()
+
+
+def uniformize_fused(
+    obj,
+    num_blocks: int | None = None,
+    rank: int | None = None,
+    tol: float = 1e-6,
+    dtype=np.float32,
+    fuse: int = 8,
+    r_tile: int = 256,
+    act_dtype=None,
+    interpret: bool | None = None,
+) -> FusedFacPlan:
+    """Re-compress a real factorized operator into uniform FFT form
+    (fac/distill.py) and compile the fused Pallas apply.
+
+    The ragged->uniform trade: `uniformize` (the packed path) keeps the
+    fac's exact ragged ranks and pays per-stage dispatch; this path pays a
+    one-time re-compression (setup, host f64) and applies at the flagship
+    kernel's speed. num_blocks=None picks the largest power of two keeping
+    >=32 columns per leaf block.
+    """
+    from butterfly_tpu.fac.distill import distill_butterfly
+
+    op = _as_linop(obj)
+    n, m = op.shape
+    check(not np.issubdtype(op.dtype, np.complexfloating),
+          "uniformize_fused is real-only; use uniformize(real_embed=True) "
+          "for complex operators", InvalidArgumentsError)
+    if num_blocks is None:
+        nb = 1
+        while (nb * 2 <= min(n, m) // 32
+               and n % (nb * 2) == 0 and m % (nb * 2) == 0):
+            nb *= 2
+        num_blocks = nb
+    check(num_blocks >= 2, "operator too small to butterfly",
+          InvalidArgumentsError)
+    dist = distill_butterfly(op, num_blocks, rank, dtype=dtype, tol=tol)
+    log_info(
+        "uniformize_fused: NB=%d rank=%d dropped=%.2e nbytes=%.1f MB",
+        num_blocks, dist.rank, dist.max_sv_discarded, dist.nbytes() / 1e6,
+    )
+    return FusedFacPlan(dist, fuse=fuse, r_tile=r_tile,
+                        act_dtype=act_dtype, interpret=interpret)
+
+
 def uniformize(
     obj,
     dtype=None,
     block_align: int | None = None,
     real_embed: bool | None = None,
     precision: str | None = "highest",
+    tiling: str = "uniform",
 ) -> StagePlan:
     """Compile a factorization-engine output into its device apply plan.
 
@@ -178,7 +274,7 @@ def uniformize(
             [e for e in ests if e.block_align == block_align][0].num_buckets,
         )
     plan = pack(op, dtype=dtype, block_align=block_align,
-                real_embed=real_embed, precision=precision)
+                real_embed=real_embed, precision=precision, tiling=tiling)
     log_info(
         "uniformize: %d stages, %d gemm buckets, padding waste %.1f%%, "
         "%.1f MB weights",

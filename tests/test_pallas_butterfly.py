@@ -88,4 +88,14 @@ def test_max_fuse_vmem_clamp():
     bf = random_butterfly(1024, 128, dtype=jnp.float32,
                           key=jax.random.key(10))
     plan = FusedButterflyPlan(bf, fuse=99, r_tile=256, interpret=True)
-    assert max(pm.k for pm in plan._meta.passes) == k32
+    # the leaf-carrying first pass respects the uniform-case clamp; every
+    # pass's own VMEM estimate fits the budget
+    from butterfly_tpu.ops.pallas_butterfly import (
+        _VMEM_LIMIT_BYTES,
+        _pass_vmem_bytes,
+    )
+
+    assert plan._meta.passes[0].k == k32
+    for pm in plan._meta.passes:
+        assert _pass_vmem_bytes(
+            list(pm.dims), 2, 256, pm.leaf_dims, 4) <= _VMEM_LIMIT_BYTES
