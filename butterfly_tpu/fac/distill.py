@@ -54,7 +54,35 @@ from butterfly_tpu.ops.butterfly import UniformButterfly
 from butterfly_tpu.ops.linop import LinOp
 from butterfly_tpu.utils.errors import InvalidArgumentsError, check
 
-__all__ = ["DistilledButterfly", "distill_butterfly"]
+__all__ = ["DistilledButterfly", "distill_butterfly", "interleaved_real_op"]
+
+
+def interleaved_real_op(A) -> "LinOp":
+    """Real (2n, 2m) view of a complex operator with Re/Im INTERLEAVED per
+    index: row 2i = Re row i, row 2i+1 = Im row i (same for columns).
+
+    Interleaving (rather than stacking halves) keeps every contiguous index
+    range spatially coherent, so each complementary (row node, col node)
+    block is the local 2x2 embedding of the corresponding complex block and
+    its rank is exactly 2x the complex rank — the butterfly property
+    survives and the embedded operator distills like a real one. This is
+    how the Helmholtz multilevel apply (reference zgemv hot chain,
+    src/mat_dense_complex.c:1072) reaches the fused real-only Pallas kernel.
+    """
+    from butterfly_tpu.ops.linop import FuncOp
+
+    n, m = A.shape
+
+    def matmat(X):
+        X = np.asarray(X)
+        z = X[0::2] + 1j * X[1::2]
+        y = A.matmat(z)
+        out = np.empty((2 * n, X.shape[1]))
+        out[0::2] = y.real
+        out[1::2] = y.imag
+        return out
+
+    return FuncOp((2 * n, 2 * m), matmat, dtype=np.float64)
 
 
 def _svd(T: np.ndarray):
