@@ -45,7 +45,38 @@ __all__ = [
     "choose_block_align",
     "AlignEstimate",
     "fac_block_stats",
+    "materialize_on_device",
 ]
+
+
+def materialize_on_device(plan: StagePlan, chunk: int = 256):
+    """Dense DEVICE materialization of a packed plan: apply it to identity
+    column blocks built on-chip and keep the result on-chip. Feeds the
+    device distillation (fac/distill.py distill_butterfly_device) without a
+    single host round trip — on hosts behind a slow transfer link, pulling
+    an (n, m) dense matrix to the host costs orders of magnitude more than
+    re-deriving it on the chip. For a real-embedded complex plan the result
+    is the (2n, 2m) STACKED [Re; Im] real matrix (StagePlan's convention).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    mul = 2 if plan.real_embed else 1
+    n, m = plan.shape[0] * mul, plan.shape[1] * mul
+    fn = plan._apply_jit
+    w = min(chunk, m)
+
+    @jax.jit
+    def step(params, j0):
+        # identity chunk built on-chip with a TRACED offset so every chunk
+        # reuses one executable (a static offset would recompile per chunk)
+        E = (jnp.arange(m)[:, None]
+             == j0 + jnp.arange(w)[None, :]).astype(jnp.float32)
+        return fn(params, E)
+
+    outs = [step(plan._params, jnp.int32(j0)) for j0 in range(0, m, w)]
+    M = jnp.concatenate(outs, axis=1)
+    return M[:, :m]
 
 
 def _as_linop(obj) -> LinOp:

@@ -50,10 +50,16 @@ class UniformButterfly:
         lo = R^l; level l's k must equal level l-1's m (or leaf m0).
     """
 
-    def __init__(self, leaf, levels: Sequence, radix: int = 2):
+    def __init__(self, leaf, levels: Sequence, radix: int = 2,
+                 precision=None):
+        # precision: lax dot precision for apply ("highest"/"high"/None).
+        # TPU demotes f32 dots to one bf16 MXU pass by DEFAULT (~1e-3 rel
+        # err); accuracy-gated f32 operators (e.g. distilled real facs
+        # meeting the BASELINE <=1e-6 clause) must carry "highest".
         self.leaf = leaf
         self.levels = list(levels)
         self.radix = radix
+        self.precision = precision
         if leaf is not None:
             self.NB = leaf.shape[0]
             k_in = leaf.shape[2]
@@ -78,12 +84,12 @@ class UniformButterfly:
     # -- pytree protocol (factors are differentiable leaves) -------------
 
     def tree_flatten(self):
-        return (self.leaf, self.levels), (self.radix,)
+        return (self.leaf, self.levels), (self.radix, self.precision)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         leaf, levels = children
-        return cls(leaf, levels, radix=aux[0])
+        return cls(leaf, levels, radix=aux[0], precision=aux[1])
 
     # -- apply -----------------------------------------------------------
 
@@ -99,6 +105,7 @@ class UniformButterfly:
             cur = jnp.einsum(
                 "bmk,bkr->bmr", self.leaf, cur.astype(self.leaf.dtype),
                 preferred_element_type=cur.dtype if cur.dtype in (jnp.float32, jnp.float64, jnp.complex64, jnp.complex128) else jnp.float32,
+                precision=self.precision,
             )
         R = self.radix
         for l, W in enumerate(self.levels):
@@ -109,6 +116,7 @@ class UniformButterfly:
                 preferred_element_type=jnp.float32
                 if W.dtype == jnp.bfloat16
                 else W.dtype,
+                precision=self.precision,
             )
             cur = y.reshape(self.NB, m, r)
         out = cur.reshape(self.NB * self.m_out, r)
@@ -145,7 +153,8 @@ class UniformButterfly:
     def astype(self, dtype) -> "UniformButterfly":
         leaf = None if self.leaf is None else self.leaf.astype(dtype)
         return UniformButterfly(
-            leaf, [W.astype(dtype) for W in self.levels], self.radix
+            leaf, [W.astype(dtype) for W in self.levels], self.radix,
+            precision=self.precision,
         )
 
     # -- oracle conversion ----------------------------------------------

@@ -116,6 +116,7 @@ class _PassMeta:
     blk_out: int     # rows per block leaving the pass
     has_leaf: bool   # pass 0 also applies the block-diagonal leaf factor
     leaf_dims: tuple | None  # (m0, k0) when has_leaf
+    precision: object = None  # lax dot precision for the in-kernel matmuls
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,6 +149,7 @@ def _pass_kernel(meta: _PassMeta, R: int, r_tile: int, *refs):
             tiles[g] = jnp.dot(
                 w_refs[0][0, 0, g], tiles[g].astype(wdt),
                 preferred_element_type=jnp.float32,
+                precision=meta.precision,
             ).astype(dt)
         wi = 1
     for t, (m_t, k_t) in enumerate(meta.dims):
@@ -160,7 +162,8 @@ def _pass_kernel(meta: _PassMeta, R: int, r_tile: int, *refs):
                     [tiles[(u * R + d) * V + v] for d in range(R)], axis=0
                 ).astype(W.dtype)  # (R*k_t, r_tile); bf16 weights -> bf16 in
                 y = jnp.dot(
-                    W[0, 0, u, v], a_in, preferred_element_type=jnp.float32
+                    W[0, 0, u, v], a_in, preferred_element_type=jnp.float32,
+                    precision=meta.precision,
                 ).astype(dt)  # rows = (c, m_t)
                 for c in range(R):
                     new[(u * R + c) * V + v] = y[c * m_t:(c + 1) * m_t, :]
@@ -279,8 +282,14 @@ class FusedButterflyPlan:
     """
 
     def __init__(self, bf, fuse: int = 3, r_tile: int = 256,
-                 interpret: bool | None = None, act_dtype=None):
+                 interpret: bool | None = None, act_dtype=None,
+                 precision=None):
         R = bf.radix
+        # inherit the butterfly's own dot precision (distilled real facs
+        # carry "highest" so the f32 accuracy clause survives the kernel)
+        if precision is None:
+            precision = getattr(bf, "precision", None)
+        prec = None if precision is None else jax.lax.Precision(precision)
         check(not np.issubdtype(np.dtype(bf.levels[0].dtype if bf.levels
                                          else bf.leaf.dtype),
                                 np.complexfloating),
@@ -356,7 +365,8 @@ class FusedButterflyPlan:
                           dims=tuple(level_dims[l0:l0 + k]),
                           blk_in=blk_in, blk_out=blk_out,
                           has_leaf=has_leaf,
-                          leaf_dims=leaf_dims if has_leaf else None)
+                          leaf_dims=leaf_dims if has_leaf else None,
+                          precision=prec)
             )
             pass_weights.append(ws)
             l0 += k

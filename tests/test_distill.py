@@ -123,3 +123,32 @@ def test_distilled_butterfly_sharded_exchange():
     want_dense = Phi[d.row_perm] @ x
     rel2 = np.linalg.norm(y - want_dense) / np.linalg.norm(want_dense)
     assert rel2 < 1e-3, f"end-to-end rel {rel2:.2e}"
+
+
+def test_distill_device_batched_ops():
+    """The device distillation (batched QR/SVD on-chip, no host math)
+    matches the dense oracle at its f32 floor."""
+    from butterfly_tpu.fac.distill import distill_butterfly_device
+
+    Phi = _fourier(1024, 512).astype(np.float32)
+    d = distill_butterfly_device(jnp.asarray(Phi), 16, rank=64)
+    x = np.random.default_rng(5).standard_normal((512, 8)).astype(np.float32)
+    y = np.asarray(d.apply_canonical(x), dtype=np.float64)
+    want = Phi.astype(np.float64) @ x
+    rel = np.linalg.norm(y - want) / np.linalg.norm(want)
+    assert rel < 1e-5, f"device distill rel {rel:.2e}"
+
+
+def test_stacked_to_interleaved_roundtrip():
+    from butterfly_tpu.fac.distill import stacked_to_interleaved
+
+    rng = np.random.default_rng(6)
+    A = rng.standard_normal((8, 6)) + 1j * rng.standard_normal((8, 6))
+    S = np.block([[A.real, -A.imag], [A.imag, A.real]])
+    I_ = np.asarray(stacked_to_interleaved(jnp.asarray(S)))
+    z = rng.standard_normal(6) + 1j * rng.standard_normal(6)
+    xi = np.empty(12)
+    xi[0::2], xi[1::2] = z.real, z.imag
+    yi = I_ @ xi
+    want = A @ z
+    assert np.allclose(yi[0::2] + 1j * yi[1::2], want, atol=1e-12)
