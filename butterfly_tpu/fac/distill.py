@@ -346,15 +346,31 @@ def distill_butterfly_device(
     rank: int,
     dtype=None,
 ) -> DistilledButterfly:
+    """See _distill_device_impl; M may also be a BATCH (B, n, m) of
+    same-shape operators — the batch folds into the block axis (independent
+    sub-butterflies concatenate along every level's `hi` axis) and the
+    result is ONE UniformButterfly applying block-diag(M_b), with only
+    log2(num_blocks) levels. This is how a partition's many same-class
+    butterfly blocks run as a single fused apply (fac/partition.py)."""
+    return _distill_device_impl(M, num_blocks, rank, dtype)
+
+
+def _distill_device_impl(
+    M,
+    num_blocks: int,
+    rank: int,
+    dtype=None,
+) -> DistilledButterfly:
     """Device-resident distillation: same complementary-low-rank merge
     recursion as `distill_butterfly`, but every step — column-block QR,
     stacked-basis QR, small SVDs, basis updates — runs as ONE batched XLA
-    op per level on the TPU. The input is a dense (n, m) device array
-    (e.g. a factorized operator materialized on device by applying its
-    packed plan to identity blocks); nothing round-trips through the host,
-    which matters on hosts whose CPU or transfer link is orders of
-    magnitude slower than the chip (the reference has no analogue: its
-    whole factorization IS host BLAS, src/fac.c:717-777).
+    op per level on the TPU. The input is a dense (n, m) device array, or a
+    BATCH (B, n, m) of same-shape operators folded into the block axis
+    (the result applies block-diag(M_b) with log2(num_blocks) levels).
+    Nothing round-trips through the host, which matters on hosts whose CPU
+    or transfer link is orders of magnitude slower than the chip (the
+    reference has no analogue: its whole factorization IS host BLAS,
+    src/fac.c:717-777).
 
     Numerics: f32 with HIGHEST dot precision; tall factors go through QR
     (never a Gram square), so the singular-value noise floor is
@@ -370,7 +386,9 @@ def distill_butterfly_device(
     import jax.numpy as jnp
 
     M = jnp.asarray(M, dtype=dtype or jnp.float32)
-    n, m = M.shape
+    if M.ndim == 2:
+        M = M[None]
+    B, n, m = M.shape
     NB = num_blocks
     check(NB >= 2 and (NB & (NB - 1)) == 0,
           "num_blocks must be a power of 2", InvalidArgumentsError)
@@ -378,6 +396,7 @@ def distill_butterfly_device(
           f"n={n}, m={m} must divide num_blocks={NB}", InvalidArgumentsError)
     L = int(round(math.log2(NB)))
     cs, bs = m // NB, n // NB
+    NBt = B * NB                                # total leaf blocks
     r = int(rank)
     check(r >= 1, "rank must be >= 1", InvalidArgumentsError)
     check(n % 2 == 0, "n must be even", InvalidArgumentsError)
@@ -385,13 +404,15 @@ def distill_butterfly_device(
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def _leaf(Md, k):
-        C = jnp.transpose(Md.reshape(n, NB, cs), (1, 0, 2))  # (NB, n, cs)
+        C = jnp.transpose(Md.reshape(B, n, NB, cs), (0, 2, 1, 3)).reshape(
+            NBt, n, cs)
         Q, R = jnp.linalg.qr(C, mode="reduced")
         U_, s, Vt = jnp.linalg.svd(R, full_matrices=False)
-        leaf = jnp.zeros((NB, r, cs), Md.dtype).at[:, :k, :].set(Vt[:, :k, :])
+        leaf = jnp.zeros((NBt, r, cs), Md.dtype).at[:, :k, :].set(
+            Vt[:, :k, :])
         US = jnp.einsum("bnc,bck->bnk", Q, U_[:, :, :k] * s[:, None, :k],
                         precision=hp)
-        U0 = jnp.zeros((NB, n, r), Md.dtype).at[:, :, :k].set(US)
+        U0 = jnp.zeros((NBt, n, r), Md.dtype).at[:, :, :k].set(US)
         dropped = s[:, k].max() if cs > k else jnp.zeros((), Md.dtype)
         return leaf, U0, s[:, 0].max(), dropped
 
@@ -402,25 +423,25 @@ def distill_butterfly_device(
 
     @jax.jit
     def _merge(T):
-        """T: (NB, h_pad, 2r) zero-padded stacks -> (G, US, dropped)."""
+        """T: (NBt, h_pad, 2r) zero-padded stacks -> (G, US, dropped)."""
         Q, R = jnp.linalg.qr(T, mode="reduced")
         U_, s, Vt = jnp.linalg.svd(R, full_matrices=False)
-        G = Vt[:, :r, :]                               # (NB, r, 2r)
+        G = Vt[:, :r, :]                               # (NBt, r, 2r)
         US = jnp.einsum("bhw,bwk->bhk", Q, U_[:, :, :r] * s[:, None, :r],
-                        precision=hp)                  # (NB, h_pad, r)
+                        precision=hp)                  # (NBt, h_pad, r)
         return G, US, s[:, r:].max() if s.shape[1] > r else jnp.zeros(
             (), T.dtype)
 
     levels = []
     for t in range(L):
-        hi, lo = NB // 2 ** (t + 1), 2 ** t
+        hi, lo = NBt // 2 ** (t + 1), 2 ** t
         rows = n // 2 ** t
         half = rows // 2
         last = t == L - 1
         # U indexed by g=(h*2+d)*lo+ll; build T[h,b,ll] = (half, (d,r))
         T = jnp.transpose(
             U.reshape(hi, 2, lo, 2, half, r), (0, 3, 2, 4, 1, 5)
-        ).reshape(NB, half, 2 * r)
+        ).reshape(NBt, half, 2 * r)
         if last:
             m_out = bs  # == half
             W = jnp.transpose(
@@ -439,9 +460,11 @@ def distill_butterfly_device(
         U = US[:, :half, :]
 
     bf = UniformButterfly(leaf, levels, radix=2, precision="highest")
+    sub_perm = _row_perm_for(NB, bs)
+    row_perm = np.concatenate([b * n + sub_perm for b in range(B)])
     return DistilledButterfly(
         bf=bf,
-        row_perm=_row_perm_for(NB, bs),
+        row_perm=row_perm,
         rank=r,
         max_sv_discarded=float(max_dropped),
         sigma_max=float(sigma_max),

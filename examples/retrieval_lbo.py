@@ -202,8 +202,10 @@ def main() -> None:
 
     # ---- deep fused (distill -> Pallas) -------------------------------
     t0 = time.time()
-    NBf = max(16, n_pad // 1024)
-    while n_pad % NBf or d % NBf or d // NBf < 2:
+    # largest power of two <= n_pad/1024 that divides both dims (n_pad is
+    # only guaranteed divisible by powers of two up to NBpad)
+    NBf = 1 << max(4, int(np.log2(max(16, n_pad // 1024))))
+    while NBf > 2 and (n_pad % NBf or d % NBf or d // NBf < 2):
         NBf //= 2
     dist = distill_butterfly(dt.fac.as_linop(), NBf,
                              rank=min(d // NBf + 32, d),
