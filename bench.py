@@ -382,12 +382,15 @@ def main() -> None:
         if bf16_deep is not None:
             # bf16 chain accuracy vs the f32-HIGHEST kernel on the SAME
             # weights (cheaper than a dense-HLO einsum oracle)
-            xs = np.random.default_rng(1).standard_normal(
-                (bf32.shape[1], 8)).astype(np.float32)
-            want = np.asarray(plan_A.apply(xs), dtype=np.float64)
-            got = np.asarray(
-                plan_B.apply(jnp.asarray(xs, dtype=jnp.bfloat16))
-            ).astype(np.float64)
+            # quantize the probe to bf16 FIRST so both paths see identical
+            # inputs and the diff isolates the kernels' compute precision
+            xs16 = jnp.asarray(
+                np.random.default_rng(1).standard_normal(
+                    (bf32.shape[1], 8)).astype(np.float32),
+                dtype=jnp.bfloat16)
+            want = np.asarray(
+                plan_A.apply(xs16.astype(jnp.float32)), dtype=np.float64)
+            got = np.asarray(plan_B.apply(xs16)).astype(np.float64)
             rel_B = float(np.linalg.norm(got - want) / np.linalg.norm(want))
             extra["bf16_deep_rel_err"] = float(f"{rel_B:.2e}")
         log(f"A. f32-highest deep chain: r={r32} {tflops_A:.1f} TFLOP/s "
