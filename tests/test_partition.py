@@ -45,4 +45,4 @@ def test_partition_matches_complex_oracle(helm_fac):
 def test_partition_rejects_oversize_tiles(helm_fac):
     _, A = helm_fac
     with pytest.raises(InvalidArgumentsError):
-        partition_apply_plan(A, bf_tiles=(32,))
+        partition_apply_plan(A, dense_tiles=(8,), bf_tiles=(8,))
