@@ -35,6 +35,7 @@ offset (i0, j0) occupies real rows [2*i0, 2*i0+2nr) — contiguity survives.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 
 import numpy as np
@@ -85,7 +86,7 @@ class PartitionPlan:
     """Executable partition apply. `params` is a pytree (pass it to the
     jitted `apply_with`); `apply(x)` is the convenience wrapper."""
 
-    def __init__(self, op: LinOp, rank=None,
+    def __init__(self, op: LinOp, rank=None, rank_margin: int = 12,
                  dense_tiles=(64, 96, 128, 192, 256, 384, 512),
                  bf_tiles=(256, 512, 1024),
                  materialize_chunk: int = 256):
@@ -133,6 +134,7 @@ class PartitionPlan:
 
         params = {"dense": [], "bf": []}
         self._bf_meta = []
+        self._bf_fns = []  # static fused-kernel apply fns, one per class
         self._flops = 0
         self._nbytes = 0
         dump = self.n2  # scatter target for padded output rows
@@ -205,8 +207,12 @@ class PartitionPlan:
                 if rank is None:
                     # embedded rank = mul x the fac's own max block rank,
                     # plus margin for the distill's coarser pairings
+                    # (margin 32 measured dropped ~1e-7 — an order tighter
+                    # than the fac's own 1e-6 grade; 12 trades that slack
+                    # for ~2x fewer level flops at these small MXU tiles)
                     rmax = max(b.rmax for b in members)
-                    rk = min(mul * rmax + 32, npad // 2)
+                    rk = min(mul * rmax + rank_margin, npad // 2)
+                    rk = max(8, (rk + 7) // 8 * 8)
                 else:
                     rk = rank
                 dist = distill_butterfly_device(Mb, NB_sub, rank=rk)
@@ -219,8 +225,20 @@ class PartitionPlan:
                     np.where(sub_perm < b.nr, b.i0 + sub_perm, dump)
                     for b in members
                 ]).astype(np.int32)
+                # the class applies through the fused Pallas kernel: all
+                # levels back-to-back in VMEM, one HBM pass per group —
+                # measured ~2x over per-level einsums at these small ranks
+                from butterfly_tpu.ops.pallas_butterfly import (
+                    FusedButterflyPlan,
+                    _apply_fused,
+                )
+
+                fplan = FusedButterflyPlan(dist.bf, fuse=8, r_tile=256)
+                self._bf_fns.append(
+                    functools.partial(_apply_fused, fplan._meta))
                 params["bf"].append((
-                    dist.bf, jnp.asarray(in_idx), jnp.asarray(out_idx)))
+                    fplan._params, jnp.asarray(in_idx),
+                    jnp.asarray(out_idx)))
                 self._bf_meta.append(
                     {"cls": cls, "B": B, "NB_sub": NB_sub, "rank": rk,
                      "dropped": dist.max_sv_discarded,
@@ -245,9 +263,10 @@ class PartitionPlan:
                 ya = jnp.einsum("bmk,bkr->bmr", W, xa, precision=hp)
                 y = y.at[out_idx.reshape(-1)].add(
                     ya.reshape(-1, x.shape[1]))
-            for bf, in_idx, out_idx in params["bf"]:
+            for fn, (bfp, in_idx, out_idx) in zip(
+                    self._bf_fns, params["bf"]):
                 xa = jnp.take(x, in_idx, axis=0)
-                ya = bf.apply(xa)
+                ya = fn(bfp, xa)
                 y = y.at[out_idx].add(ya)
             return y[:n2]
 

@@ -117,9 +117,14 @@ class CompressedTable:
         v = self.V[blk]  # (m, rank, d)
         return jnp.einsum("mr,mrd->md", u, v, preferred_element_type=jnp.float32)
 
-    def topk(self, queries: jnp.ndarray, k: int):
-        """(values, indices) of the top-k rows per query: (q, k) each."""
+    def topk(self, queries: jnp.ndarray, k: int, approx: bool = False):
+        """(values, indices) of the top-k rows per query: (q, k) each.
+        approx=True uses the TPU's approx_max_k (recall ~0.95 per the XLA
+        contract, much faster than exact sort at large n); strict recall
+        reported by callers measures the end-to-end effect honestly."""
         scores = self.score(queries)  # (n, q)
+        if approx and jax.default_backend() == "tpu":
+            return jax.lax.approx_max_k(scores.T, k)
         return jax.lax.top_k(scores.T, k)
 
     def materialize(self) -> jnp.ndarray:
@@ -250,8 +255,10 @@ class DeepTable:
         q = jnp.asarray(queries)
         return self.plan(q.T)
 
-    def topk(self, queries, k: int):
+    def topk(self, queries, k: int, approx: bool = False):
         scores = self.score(queries)
+        if approx and jax.default_backend() == "tpu":
+            return jax.lax.approx_max_k(scores.T, k)
         return jax.lax.top_k(scores.T, k)
 
     def materialize(self) -> np.ndarray:

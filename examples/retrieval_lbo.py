@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument("--num-eigs", type=int, default=1024)
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--rank-one-level", type=int, default=48)
+    ap.add_argument("--rank-fused", type=int, default=None)
+    ap.add_argument("--exact-topk", action="store_true",
+                    help="exact lax.top_k instead of TPU approx_max_k")
     ap.add_argument("--deep-tol", type=float, default=1e-3)
     ap.add_argument("--out", default=None)
     ap.add_argument("--synthetic", action="store_true",
@@ -125,6 +128,15 @@ def main() -> None:
 
     results = []
     dev = str(jax.devices()[0])
+    use_approx = (not args.exact_topk) and jax.default_backend() == "tpu"
+
+    def top100(scores_qn):
+        # approx_max_k: the TPU's native fast top-k (bitonic partial
+        # reduction, ~0.95 recall contract); strict recall below measures
+        # the end-to-end effect against the exact oracle honestly
+        if use_approx:
+            return jax.lax.approx_max_k(scores_qn, 100)
+        return jax.lax.top_k(scores_qn, 100)
 
     def timed_qps(run, label):
         """run(k) executes k chained score+topk steps on device."""
@@ -144,13 +156,13 @@ def main() -> None:
     def run_ct(ct, Q0, k):
         def body(i, carry):
             Qc, acc = carry
-            vals, idx = ct.topk(Qc, 100)
+            vals, idx = ct.topk(Qc, 100, approx=use_approx)
             return Qc * (1.0 + 1e-30 * jnp.sum(vals)), acc + idx[0, 0]
         _, acc = jax.lax.fori_loop(0, k, body, (Q0, jnp.int32(0)))
         return acc
 
     qps_ct = timed_qps(lambda k: int(run_ct(ct, Qd, k)), "one_level")
-    _, idx_ct = ct.topk(Qd, 100)
+    _, idx_ct = ct.topk(Qd, 100, approx=use_approx)
     rec_ct = recall_at_k(np.asarray(idx_ct), true100)
     mb_ct = ct.nbytes() / 1e6
     results.append({
@@ -178,14 +190,14 @@ def main() -> None:
         def body(i, carry):
             Qc, acc = carry
             scores = fn_dt(params, Qc.T)            # (n, q)
-            vals, idx = jax.lax.top_k(scores.T, 100)
+            vals, idx = top100(scores.T)
             return Qc * (1.0 + 1e-30 * jnp.sum(vals)), acc + idx[0, 0]
         _, acc = jax.lax.fori_loop(0, k, body, (Q0, jnp.int32(0)))
         return acc
 
     qps_dt = timed_qps(lambda k: int(run_dt(dt.plan._params, Qd, k)),
                        "deep_packed")
-    _, idx_dt = dt.topk(Qd, 100)
+    _, idx_dt = dt.topk(Qd, 100, approx=use_approx)
     rec_dt = recall_at_k(np.asarray(idx_dt), true100)
     mb_dt = dt.nbytes_logical() / 1e6
     results.append({
@@ -207,8 +219,8 @@ def main() -> None:
     NBf = 1 << max(4, int(np.log2(max(16, n_pad // 1024))))
     while NBf > 2 and (n_pad % NBf or d % NBf or d // NBf < 2):
         NBf //= 2
-    dist = distill_butterfly(dt.fac.as_linop(), NBf,
-                             rank=min(d // NBf + 32, d),
+    rank_fused = args.rank_fused or min(d // NBf + 64, d)
+    dist = distill_butterfly(dt.fac.as_linop(), NBf, rank=rank_fused,
                              dtype=np.float32)
     plan = FusedButterflyPlan(dist.bf, fuse=8, r_tile=256,
                               interpret=args.interpret)
@@ -224,7 +236,7 @@ def main() -> None:
         def body(i, carry):
             Qc, acc = carry
             scores = fn_fp(params, Qc.T)            # (n, q) butterfly order
-            vals, idx = jax.lax.top_k(scores.T, 100)
+            vals, idx = top100(scores.T)
             return Qc * (1.0 + 1e-30 * jnp.sum(vals)), acc + idx[0, 0]
         _, acc = jax.lax.fori_loop(0, k, body, (Q0, jnp.int32(0)))
         return acc
