@@ -55,7 +55,7 @@ def test_uniformize_streamed_fac(rng):
     plan32 = uniformize(fac, dtype=np.float32, block_align=16)
     got32 = np.asarray(plan32(x))
     rel32 = np.linalg.norm(got32 - Phi @ x) / np.linalg.norm(Phi @ x)
-    assert rel32 < 1e-5, f"f32 device path rel err {rel32:.3e}"
+    assert rel32 < 1e-6, f"f32 device path rel err {rel32:.3e}"  # BASELINE accuracy clause
 
 
 def test_uniformize_auto_align(rng):
@@ -104,7 +104,7 @@ def test_uniformize_helm2_real_embed(rng):
     plan32 = uniformize(A, dtype=np.complex64, block_align=32, real_embed=True)
     got32 = np.asarray(plan32(x))
     rel32 = np.linalg.norm(got32 - want) / np.linalg.norm(want)
-    assert rel32 < 1e-5, f"c64 real-embed rel err {rel32:.3e}"
+    assert rel32 < 1e-6, f"c64 real-embed rel err {rel32:.3e}"  # BASELINE accuracy clause
 
     # stacked-real device-resident form agrees with the complex wrapper
     xr = np.concatenate([x.real, x.imag])[:, None]
