@@ -145,6 +145,21 @@ def _svd_scaled(T: np.ndarray):
     return T @ V, s, V.T
 
 
+# Below this relative tolerance the Gram trick's squared conditioning makes
+# dropped-singular-value reports noise (see _svd_scaled docstring); the
+# distillation then switches to the full bidiagonalization SVD.
+_GRAM_TOL_FLOOR = 1e-7
+
+
+def _svd_full_scaled(T: np.ndarray):
+    """Same contract as _svd_scaled but always via the full SVD — used when
+    the caller's truncation tolerance is below the Gram trick's ~1e-8
+    accuracy floor (ADVICE r3: tol < 1e-7 made max_sv_discarded and the
+    adaptive-rank termination unreliable)."""
+    U, s, Vt = _svd(T)
+    return U * s, s, Vt
+
+
 def _revbits(x: int, nbits: int) -> int:
     y = 0
     for _ in range(nbits):
@@ -234,21 +249,24 @@ def distill_butterfly(
     if rank is None:
         margin = 16
         while True:
-            d = _distill_from_cols(cols, n, m, NB, cs + margin, dtype)
+            d = _distill_from_cols(cols, n, m, NB, cs + margin, dtype,
+                                   tol=tol)
             if (d.max_sv_discarded <= tol * max(d.sigma_max, 1e-300)
                     or cs + margin >= min(n, m)):
                 return d
             margin *= 2
-    return _distill_from_cols(cols, n, m, NB, rank, dtype)
+    return _distill_from_cols(cols, n, m, NB, rank, dtype, tol=tol)
 
 
 def _distill_from_cols(
-    cols: list, n: int, m: int, NB: int, rank: int, dtype
+    cols: list, n: int, m: int, NB: int, rank: int, dtype,
+    tol: float = 1e-6,
 ) -> DistilledButterfly:
     L = int(round(math.log2(NB)))
     cs, bs = m // NB, n // NB
     r = rank
     check(r >= 1, "rank must be >= 1", InvalidArgumentsError)
+    svd_scaled = _svd_scaled if tol >= _GRAM_TOL_FLOOR else _svd_full_scaled
 
     max_dropped = 0.0
     sigma_max = 0.0
@@ -260,7 +278,7 @@ def _distill_from_cols(
         # carry the SCALED basis B = U diag(s) so later truncations rank
         # directions by actual data magnitude; the emitted factor is the
         # orthonormal part
-        US, s, Vt = _svd_scaled(cols[c])
+        US, s, Vt = svd_scaled(cols[c])
         if s.size:
             sigma_max = max(sigma_max, float(s[0]))
         k = min(r, s.size)
@@ -294,7 +312,7 @@ def _distill_from_cols(
                         W[h, b, 0, ll] = T[:, :r]
                         W[h, b, 1, ll] = T[:, r:]
                         continue
-                    US, s, Vt = _svd_scaled(T)
+                    US, s, Vt = svd_scaled(T)
                     k = min(r, s.size)
                     if s.size > k:
                         max_dropped = max(max_dropped, float(s[k]))

@@ -116,7 +116,11 @@ class PartitionPlan:
             nc_c = c.factors[0].in_dim
             blk = _Blk(mul * c.i0, mul * c.j0, mul * nr_c, mul * nc_c)
             f0 = c.factors[0]
-            if len(c.factors) == 1 and len(f0.gemms) == 1 and not f0.scales:
+            # the offset guard keeps a single-GEMM unit sitting at a nonzero
+            # offset (a block operator with one dense sub-block) out of the
+            # dense fast path, where its placement would be dropped
+            if (len(c.factors) == 1 and len(f0.gemms) == 1 and not f0.scales
+                    and f0.gemms[0].in_off == 0 and f0.gemms[0].out_off == 0):
                 Z = f0.gemms[0].data
                 W = (_interleave_embed(Z) if self._complex
                      else np.asarray(Z, np.float32))

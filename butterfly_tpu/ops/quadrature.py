@@ -19,7 +19,8 @@ import numpy as np
 from butterfly_tpu.ops.linop import Coo
 from butterfly_tpu.utils.errors import InvalidArgumentsError, check
 
-__all__ = ["KR_WEIGHTS", "kr_correction", "kr_block_correction"]
+__all__ = ["KR_WEIGHTS", "KrAccumCorrector", "kr_accum_correction",
+           "kr_correction", "kr_block_correction"]
 
 #: Kapur-Rokhlin correction weights (reference: src/quadrature.c:13-40;
 #: originally Kapur & Rokhlin, SIAM J. Numer. Anal. 34 (1997)).
@@ -98,6 +99,89 @@ def kr_correction(
     if perm is not None:
         corr = corr.permuted(np.asarray(perm))
     return corr
+
+
+class KrAccumCorrector:
+    """Matrix-free (apply-side) KR correction — the analogue of the
+    reference's accumulate variant `bfQuadKrAccumCorrection`
+    (src/quadrature.c:51-73), which adds the correction's contribution
+    directly into an output vector instead of materializing a sparse matrix.
+    Used when the system operator itself is matrix-free or compressed (the
+    multiple-scattering example's FMM side).
+
+    TPU-native form: each row has exactly `2*order` corrected neighbors, so
+    the whole correction is a static (n, 2*order) coefficient table plus a
+    same-shape gather-index table; `apply` is one vectorized
+    gather-multiply-reduce (no scatter, batched over right-hand sides).
+    """
+
+    def __init__(self, coef: np.ndarray, idx: np.ndarray):
+        self.coef = coef        # (n, 2*order) kernel-weighted coefficients
+        self.idx = idx          # (n, 2*order) source indices
+        self.shape = (coef.shape[0], coef.shape[0])
+
+    def apply(self, x):
+        """Correction-only contribution: returns C_kr @ x for (n,) or
+        (n, r) x (host numpy path; dtype follows the inputs)."""
+        x = np.asarray(x)
+        gathered = x[self.idx]                 # (n, 2p) or (n, 2p, r)
+        coef = (self.coef if gathered.ndim == 2
+                else self.coef[:, :, None])
+        return (coef * gathered).sum(axis=1)
+
+    def wrap(self, apply_fn: Callable):
+        """Compose with any apply callable: returns x -> apply_fn(x) +
+        correction (the accumulate composition of the reference)."""
+        return lambda x: apply_fn(x) + self.apply(x)
+
+    def permuted(self, perm: np.ndarray) -> "KrAccumCorrector":
+        """Symmetric re-index into tree order (perm: tree pos -> original
+        index), matching Coo.permuted / bfMatPermuteRows on the explicit
+        correction (src/quadrature.c:180-184)."""
+        perm = np.asarray(perm)
+        rev = np.empty(self.shape[0], dtype=np.int64)
+        rev[perm] = np.arange(self.shape[0])
+        return KrAccumCorrector(self.coef[perm], rev[self.idx[perm]])
+
+
+def kr_accum_correction(
+    order: int,
+    n: int,
+    kernel: Callable[[int, int], complex],
+    offsets: Sequence[int] | None = None,
+    perm: np.ndarray | None = None,
+) -> KrAccumCorrector:
+    """Build the matrix-free KR corrector for one closed boundary (or, with
+    `offsets`, several stacked boundaries — the block variant). Numerically
+    identical to the explicit `kr_correction`/`kr_block_correction` Coo."""
+    check(order in KR_WEIGHTS, "KR order must be 2, 6, or 10",
+          InvalidArgumentsError)
+    if offsets is None:
+        offsets = [0, n]
+    offsets = list(offsets)
+    check(len(offsets) >= 2
+          and all(a < b for a, b in zip(offsets, offsets[1:])),
+          "offsets must be sorted with at least two entries",
+          InvalidArgumentsError)
+    w = KR_WEIGHTS[order]
+    coef = np.zeros((n, 2 * order), dtype=np.complex128)
+    idx = np.zeros((n, 2 * order), dtype=np.int64)
+    for i0, i1 in zip(offsets[:-1], offsets[1:]):
+        m = i1 - i0
+        check(m >= 2 * order + 1, "block too small for KR order",
+              InvalidArgumentsError)
+        for i in range(i0, i1):
+            for p in range(order):
+                j_hi = ((i + p + 1 - i0) % m) + i0
+                j_lo = (((i + m) - p - 1 - i0) % m) + i0
+                idx[i, 2 * p] = j_hi
+                coef[i, 2 * p] = w[p] * kernel(i, j_hi)
+                idx[i, 2 * p + 1] = j_lo
+                coef[i, 2 * p + 1] = w[p] * kernel(i, j_lo)
+    out = KrAccumCorrector(coef, idx)
+    if perm is not None:
+        out = out.permuted(np.asarray(perm))
+    return out
 
 
 def kr_block_correction(

@@ -129,3 +129,63 @@ def test_kr_correction_improves_accuracy(bie):
     assert rel_corr < rel_raw / 10, (
         f"KR correction must help: raw {rel_raw:.3e}, corrected {rel_corr:.3e}"
     )
+
+
+def test_kr_accum_correction_matches_explicit(bie):
+    """The matrix-free accumulate corrector (reference:
+    bfQuadKrAccumCorrection, src/quadrature.c:51-73) must reproduce the
+    explicit sparse correction exactly, both standalone and composed with an
+    arbitrary apply callable."""
+    from butterfly_tpu.ops.quadrature import kr_accum_correction
+
+    n = bie["n"]
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+
+    corr = kr_correction(KR_ORDER, n, bie["kernel_ij"])
+    accum = kr_accum_correction(KR_ORDER, n, bie["kernel_ij"])
+    want = corr.materialize() @ x
+    got = accum.apply(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+
+    # composed with a matrix-free operator apply (the accumulate use case:
+    # corrected-apply == dense-corrected apply)
+    A = bie["helm_sp"].kernel_matrix(bie["X"], bie["X"], None, bie["N"])
+    corrected_apply = accum.wrap(lambda v: A @ v)
+    want_full = (A + corr.materialize()) @ x
+    got_full = corrected_apply(x)
+    assert np.linalg.norm(got_full - want_full) / np.linalg.norm(want_full) < 1e-12
+
+    # batched RHS path
+    X2 = rng.standard_normal((n, 3)) + 1j * rng.standard_normal((n, 3))
+    want_b = corr.materialize() @ X2
+    got_b = accum.apply(X2)
+    assert np.linalg.norm(got_b - want_b) / np.linalg.norm(want_b) < 1e-12
+
+
+def test_kr_accum_correction_permuted_and_blocks(bie):
+    """Tree-permuted accumulate corrector matches the permuted Coo; the
+    multi-boundary (block) form matches kr_block_correction."""
+    from butterfly_tpu.ops.quadrature import (
+        kr_accum_correction,
+        kr_block_correction,
+    )
+
+    n = bie["n"]
+    rng = np.random.default_rng(4)
+    perm = rng.permutation(n)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+
+    corr_p = kr_correction(KR_ORDER, n, bie["kernel_ij"], perm=perm)
+    accum_p = kr_accum_correction(KR_ORDER, n, bie["kernel_ij"], perm=perm)
+    want = corr_p.materialize() @ x
+    got = accum_p.apply(x)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-12
+
+    offsets = [0, n // 2, n]
+    corr_b = kr_block_correction(KR_ORDER, n, offsets, bie["kernel_ij"])
+    accum_b = kr_accum_correction(KR_ORDER, n, bie["kernel_ij"],
+                                  offsets=offsets)
+    want_b = corr_b.materialize() @ x
+    got_b = accum_b.apply(x)
+    assert np.linalg.norm(got_b - want_b) / np.linalg.norm(want_b) < 1e-12

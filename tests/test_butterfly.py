@@ -69,6 +69,7 @@ def test_flops_and_bytes():
     assert bf.nbytes() == 4 * (8 * 16 + 3 * 16 * 16)
 
 
+@pytest.mark.slow
 def test_scaling_stability(rng):
     """Deep random butterfly keeps outputs O(1) (normalized init)."""
     bf = random_butterfly(64, 8, dtype=jnp.float64, key=jax.random.key(5))

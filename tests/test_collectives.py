@@ -38,6 +38,7 @@ def _hlo_all_to_all_shapes(txt: str) -> list[tuple[int, ...]]:
     return shapes
 
 
+@pytest.mark.slow
 def test_shmap_butterfly_matches_dense():
     mesh = _mesh8()
     NB, blk, r = 64, 16, 8

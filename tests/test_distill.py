@@ -98,6 +98,7 @@ def test_uniformize_fused_pallas_interpret():
     assert np.allclose(yb, y[fp.dist.row_perm], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_distilled_butterfly_sharded_exchange():
     """The SAME distilled real fac applies through ShardedButterfly's
     explicit all-to-all schedule on an 8-device mesh and matches the

@@ -13,8 +13,12 @@ from butterfly_tpu.ops.butterfly import random_butterfly
 from butterfly_tpu.ops.pallas_butterfly import FusedButterflyPlan
 
 
-@pytest.mark.parametrize("NB,blk,fuse", [(8, 8, 1), (8, 8, 2), (16, 8, 3),
-                                         (16, 16, 4), (32, 8, 3)])
+@pytest.mark.parametrize(
+    "NB,blk,fuse",
+    [(8, 8, 1), (8, 8, 2),
+     pytest.param(16, 8, 3, marks=pytest.mark.slow),
+     pytest.param(16, 16, 4, marks=pytest.mark.slow),
+     pytest.param(32, 8, 3, marks=pytest.mark.slow)])
 def test_fused_matches_einsum(NB, blk, fuse):
     bf = random_butterfly(NB, blk, dtype=jnp.float32, key=jax.random.key(1))
     plan = FusedButterflyPlan(bf, fuse=fuse, r_tile=128, interpret=True)
@@ -78,6 +82,7 @@ def test_fused_bf16_weights():
     assert got.dtype == np.float64 and plan.apply(x).dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_max_fuse_vmem_clamp():
     from butterfly_tpu.ops.pallas_butterfly import max_fuse
 

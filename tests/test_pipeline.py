@@ -21,8 +21,10 @@ def _rel(a, b):
     )
 
 
-@pytest.mark.parametrize("NB,blk,with_leaf", [(16, 8, True), (16, 8, False),
-                                              (32, 4, True)])
+@pytest.mark.parametrize(
+    "NB,blk,with_leaf",
+    [(16, 8, True), (16, 8, False),
+     pytest.param(32, 4, True, marks=pytest.mark.slow)])
 def test_slot_form_matches_butterfly(NB, blk, with_leaf):
     bf = random_butterfly(NB, blk, dtype=jnp.float32, key=jax.random.key(2),
                           with_leaf=with_leaf)
@@ -33,7 +35,9 @@ def test_slot_form_matches_butterfly(NB, blk, with_leaf):
     assert _rel(sb.apply(v), bf.apply(v)) < 1e-5
 
 
-@pytest.mark.parametrize("stages,micro", [(2, 4), (4, 4), (4, 1), (8, 2)])
+@pytest.mark.parametrize(
+    "stages,micro",
+    [pytest.param(2, 4, marks=pytest.mark.slow), (4, 4), (4, 1), (8, 2)])
 def test_pipelined_apply_matches(stages, micro):
     NB, blk = 256, 4  # 8 levels: divisible into 2/4/8 stages
     bf = random_butterfly(NB, blk, dtype=jnp.float32, key=jax.random.key(5))
@@ -58,6 +62,7 @@ def test_pipeline_weights_are_stage_sharded():
     assert shard_shapes == {(1,) + pipe.weights.shape[1:]}
 
 
+@pytest.mark.slow
 def test_pipeline_rejects_indivisible_stages():
     bf = random_butterfly(16, 4, dtype=jnp.float32, key=jax.random.key(8))
     mesh = make_stage_mesh(3)

@@ -66,6 +66,7 @@ def test_recall_at_100(table):
     assert rec > 0.97, f"recall@100 = {rec:.3f}"
 
 
+@pytest.mark.slow
 def test_recall_at_100_large_skewed():
     """Recall at scale on a popularity-skewed table (margin-separated top-k —
     strict recall is ill-posed when thousands of rows tie within the noise
@@ -141,6 +142,7 @@ def test_tree_order_improves_compression():
     assert e_ordered < 0.5 * e_shuffled, (e_ordered, e_shuffled)
 
 
+@pytest.mark.slow
 def test_deep_table_wide_structured(rng):
     """The measured claim, side 1: on a WIDE structured table (DCT — the
     LBO-eigenvector analogue, reference: examples/lbo) the streamed deep

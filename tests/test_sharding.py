@@ -53,6 +53,7 @@ def test_sharded_butterfly_apply_matches(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import importlib.util, pathlib
 
