@@ -78,11 +78,21 @@ def compress_lbo_eigenfunctions(
     row_tree_init_depth: int = 1,
     use_fiedler_tree: bool = False,
     freq_margin: float = 1.001,
+    eigensolver: str = "scipy",
 ) -> LboCompression:
     """Compute and butterfly-compress the full LBO eigenvector matrix.
 
     Returns the compressed factorization of Phi in ROW-TREE order and
     COLUMN-FREQUENCY order: Phi_compressed ~= Phi[row_perm][:, freq_order].
+
+    eigensolver:
+      "scipy"  — host ARPACK shift-invert bands (get_eigenband), the f64
+                 certified path (reference: bfGetEigenband + UMFPACK,
+                 src/linalg.c:748-1000).
+      "device" — device-resident bands (ops/device_eigs.DeviceEigSession):
+                 dense generalized eigh on device for small meshes,
+                 constrained generalized LOBPCG (no inner solves) at scale —
+                 the TPU-native analogue SURVEY.md §7.5 plans.
     """
     L, M = mesh.lbo_fem()
     n = mesh.num_verts
@@ -109,13 +119,27 @@ def compress_lbo_eigenfunctions(
     )
     streamer = FacStreamer(spec, auto_skip_empty_leaves=False)
 
+    check(eigensolver in ("scipy", "device"),
+          f"unknown eigensolver {eigensolver!r}")
+    session = None
+    if eigensolver == "device":
+        from butterfly_tpu.ops.device_eigs import DeviceEigSession
+
+        session = DeviceEigSession(L, M)
+
     freqs = np.empty(0)
     leaves = col_tree.nodes_at_depth(col_tree_depth)
     for leaf in leaves:
         lo, hi = _bracket_from_node(leaf)
-        lam, Phi = get_eigenband(
-            L, M, lo, hi, method="doubling" if not np.isfinite(lo) or not np.isfinite(hi) else "covering"
-        )
+        if session is not None:
+            lam, Phi = session.next_band(lo, hi)
+        else:
+            lam, Phi = get_eigenband(
+                L, M, lo, hi,
+                method="doubling"
+                if not np.isfinite(lo) or not np.isfinite(hi)
+                else "covering",
+            )
         band_freqs = lbo_eigs_to_freqs(lam)
         # permute eigenvectors into row-tree order
         # (reference: bfMatPermuteRows(Phi, revRowPerm), src/lbo.c:109)

@@ -116,3 +116,74 @@ def test_lbo_streaming_compression(sphere):
     rel = np.abs(R).max() / np.abs(L.toarray() @ Phi_orig).max()
     assert rel < 1e-5, f"residual rel err {rel:.3e}"
     assert comp.compression_rate > 0.1  # small mesh: no win expected yet
+
+
+def test_device_eig_session_dense_path(sphere):
+    """DeviceEigSession (dense device path) serves bands matching the host
+    ARPACK covering solver to 1e-8 (VERDICT r3 item 6; SURVEY §7.5)."""
+    from butterfly_tpu.ops.device_eigs import DeviceEigSession
+
+    L, M = sphere.lbo_fem()
+    dense_vals = np.sort(
+        sla.eigh(L.toarray(), M.toarray(), eigvals_only=True))
+    ses = DeviceEigSession(L, M)
+    # walk three consecutive bands
+    cuts = [-np.inf, float(dense_vals[10]) + 1e-6,
+            float(dense_vals[40]) + 1e-6, np.inf]
+    got_vals = []
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        lam, Phi = ses.next_band(lo, hi)
+        got_vals.append(lam)
+        # each returned vector is an eigenvector to matching accuracy
+        R = L @ Phi - (M @ Phi) * lam[None, :]
+        assert np.linalg.norm(R, axis=0).max() < 1e-7
+    got = np.concatenate(got_vals)
+    assert got.size == sphere.num_verts
+    np.testing.assert_allclose(got, dense_vals, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_device_eig_lobpcg_path(sphere):
+    """The at-scale LOBPCG path (forced via dense_cutoff=0) matches scipy
+    on the lowest bands — no inner solves, BCOO matvecs only."""
+    from butterfly_tpu.ops.device_eigs import DeviceEigSession
+
+    L, M = sphere.lbo_fem()
+    dense_vals = np.sort(
+        sla.eigh(L.toarray(), M.toarray(), eigvals_only=True))
+    ses = DeviceEigSession(L, M, dense_cutoff=0, chunk=16, tol=1e-10)
+    hi = float(dense_vals[24]) + 1e-6
+    lam, Phi = ses.next_band(-np.inf, hi)
+    want = dense_vals[dense_vals < hi]
+    assert lam.size == want.size
+    np.testing.assert_allclose(lam, want, rtol=1e-8, atol=1e-8)
+    # residual is judged relative to the band's spectral scale (the
+    # eigenvalue error is quadratic in this, hence the 1e-8 match above)
+    R = L @ Phi - (M @ Phi) * lam[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-5 * max(lam.max(), 1.0)
+    # M-orthonormality
+    G = Phi.T @ (M @ Phi)
+    np.testing.assert_allclose(G, np.eye(lam.size), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_lbo_compression_device_eigensolver(sphere):
+    """compress_lbo_eigenfunctions(eigensolver='device') reproduces the
+    scipy pipeline's frequencies to 1e-8 (VERDICT r3 item 6 done-criterion)."""
+    comp_h = compress_lbo_eigenfunctions(sphere, tol=1e-8, col_tree_depth=2)
+    comp_d = compress_lbo_eigenfunctions(sphere, tol=1e-8, col_tree_depth=2,
+                                         eigensolver="device")
+    assert comp_d.freqs.size == comp_h.freqs.size == sphere.num_verts
+    # atol 1e-6: freqs are sqrt(eigenvalues), and sqrt maps the kernel
+    # eigenvalue's ~1e-13 fp error to ~3e-7 in frequency
+    np.testing.assert_allclose(comp_d.freqs, comp_h.freqs,
+                               rtol=1e-8, atol=1e-6)
+    # compressed operators agree up to eigenvector sign/multiplet rotation:
+    # compare the reconstructed Gram projector on a probe
+    Phi_h = comp_h.fac.as_linop().materialize()
+    Phi_d = comp_d.fac.as_linop().materialize()
+    x = np.random.default_rng(0).standard_normal(sphere.num_verts)
+    # both Phi's columns span the same eigenspaces: P = Phi Phi^T M acts
+    # identically (full spectrum -> identity in the M metric up to fp)
+    np.testing.assert_allclose(Phi_d @ (Phi_d.T @ x), Phi_h @ (Phi_h.T @ x),
+                               rtol=1e-6, atol=1e-8)
