@@ -53,9 +53,10 @@ Sections, in execution order:
      apply (near-field batched GEMM + per-class batched distilled
      butterflies), rel err vs the complex host oracle
 
-Timing uses one jitted fori_loop body with a DYNAMIC trip count: one
-executable serves both chain lengths, and the slope (t(K2)-t(K1))/(K2-K1)
-cancels the ~25 ms tunnel dispatch/fetch latency.
+Timing: K async dispatches of ONE cached executable chained by data
+dependence, forced by a final scalar fetch; the slope
+(t(K2)-t(K1))/(K2-K1) cancels the ~25 ms tunnel dispatch/fetch latency.
+(See chain_timer for why fori_loop chains are banned on this box.)
 
 Warming: `python bench.py --warm` runs all sections with a huge budget and
 no deadlines, populating the persistent compile cache for later runs.
@@ -526,7 +527,7 @@ def main() -> None:
         fp = uniformize_fused(fac, tol=1e-7, dtype=np.float32,
                               fuse=8, r_tile=256)
         setup_D = time.perf_counter() - ts
-        rD = 256
+        rD = 1024  # wide enough that per-iter device time dominates dispatch
         xD = randn((mD, rD), jnp.float32)
         fnD = functools.partial(_apply_fused, fp.plan._meta)
 
@@ -534,7 +535,7 @@ def main() -> None:
             y = fnD(params, cur)
             return cur + 1e-30 * jnp.sum(y)  # rectangular: fold back
 
-        t_D = slope(chain_timer(step_D, fp.plan._params, xD), 32, 224)
+        t_D = slope(chain_timer(step_D, fp.plan._params, xD), 8, 56)
         flops_D = fp.flops_per_col() * rD
         tflops_D = flops_D / t_D / 1e12
         frac_D = op_sol_frac("real_fac", flops_D, fp.nbytes(),
@@ -571,14 +572,14 @@ def main() -> None:
         A = fac_helm2.make_multilevel(helm, tree, tree)
         pp = partition_apply_plan(A, rank=None)
         setup_E = time.perf_counter() - ts
-        rE = 256
+        rE = 1024  # wide enough that per-iter device time dominates dispatch
         xE = randn((2 * nE, rE), jnp.float32)
 
         def step_E(params, cur):
             y = pp.apply_with(params, cur)
             return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-30)
 
-        t_E = slope(chain_timer(step_E, pp.params, xE), 16, 112)
+        t_E = slope(chain_timer(step_E, pp.params, xE), 4, 28)
         flops_E = pp.flops_per_col() * rE
         tflops_E = flops_E / t_E / 1e12
         frac_E = op_sol_frac("helm2", flops_E, pp.nbytes(), 2 * xE.nbytes,

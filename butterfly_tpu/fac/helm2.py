@@ -138,27 +138,39 @@ def _make_first_factor(
     helm_proxy = helm.proxy()
     tgt_circ = _circ(tgt_level[0])
 
-    blocks = []
+    use_normals = helm_proxy.layer_pot in USES_SRC_NORMALS
+    # batch leaves by (num_points, rank) shape class (see _make_inner_factor)
+    metas = []
     for src_node in src_level:
         src_circ = _circ(src_node)
         src_pts = tree.node_points(src_node)
-        src_normals = (
-            tree.node_normals(src_node)
-            if helm_proxy.layer_pot in USES_SRC_NORMALS
-            else None
-        )
+        src_normals = tree.node_normals(src_node) if use_normals else None
         p = helm.rank_estimate(src_circ, tgt_circ, RANK_EST_C, RANK_EST_EPS)
-        src_circ_pts = src_circ.sample_points(p)
-        src_circ_normals = (
-            src_circ.sample_unit_normals(p)
-            if helm_proxy.layer_pot in USES_SRC_NORMALS
-            else None
+        metas.append((src_node, src_circ, src_pts, src_normals, p))
+
+    groups: dict = {}
+    for bi, m in enumerate(metas):
+        key = (len(m[2]), m[4])
+        groups.setdefault(key, []).append(bi)
+
+    blocks: list = [None] * len(metas)
+    for (npts, p), idxs in groups.items():
+        so, se, tg, no, ne = [], [], [], [], []
+        for bi in idxs:
+            _, src_circ, src_pts, src_normals, _p = metas[bi]
+            so.append(src_pts)
+            se.append(src_circ.sample_points(p))
+            tg.append(tgt_circ.sample_points(p))
+            if use_normals:
+                no.append(src_normals)
+                ne.append(src_circ.sample_unit_normals(p))
+        Z = helm_proxy.reexpansion_matrices_batched(
+            np.stack(so), np.stack(se), np.stack(tg),
+            np.stack(no) if use_normals else None,
+            np.stack(ne) if use_normals else None,
         )
-        tgt_circ_pts = tgt_circ.sample_points(p)
-        Z = helm_proxy.reexpansion_matrix(
-            src_pts, src_circ_pts, tgt_circ_pts, src_normals, src_circ_normals
-        )
-        blocks.append(Dense(Z))
+        for b, bi in enumerate(idxs):
+            blocks[bi] = Dense(Z[b])
     return BlockDiag(blocks)
 
 
@@ -222,29 +234,45 @@ def _make_inner_factor(
     row_offsets = np.concatenate([[0], np.cumsum(row_sizes)])
     col_offsets = np.concatenate([[0], np.cumsum(col_sizes)])
 
-    # Second pass: sample proxy circles and build shift matrices
-    # (reference: src/fac_helm2.c:324-391).
+    # Second pass: sample proxy circles and build shift matrices, BATCHED
+    # by (num_rows, num_cols) shape class so each class costs one stacked
+    # kernel evaluation + one stacked SVD least-squares instead of
+    # per-block Python calls (reference loop: src/fac_helm2.c:324-391; the
+    # batching is the TPU-era redesign — per-block np.linalg.lstsq overhead
+    # was ~44% of setup time at n=8k).
+    use_normals = helm_proxy.layer_pot in USES_SRC_NORMALS
+    groups: dict = {}
+    for e in entries:
+        i, j = e[0], e[1]
+        key = (int(row_sizes[i]), int(col_sizes[j]))
+        groups.setdefault(key, []).append(e)
+
     row_inds, col_inds, blocks = [], [], []
-    for (i, j, spi, src_child, tpi, tgt_child) in entries:
-        num_rows = int(row_sizes[i])
-        num_cols = int(col_sizes[j])
-        src_child_circ = _circ(src_child)
-        src_circ = _circ(src_level[spi])
-        tgt_child_circ = _circ(tgt_child)
-        src_child_pts = src_child_circ.sample_points(num_cols)
-        src_pts = src_circ.sample_points(num_rows)
-        tgt_child_pts = tgt_child_circ.sample_points(num_rows)
-        if helm_proxy.layer_pot in USES_SRC_NORMALS:
-            src_child_normals = src_child_circ.sample_unit_normals(num_cols)
-            src_normals = src_circ.sample_unit_normals(num_rows)
-        else:
-            src_child_normals = src_normals = None
-        Z = helm_proxy.reexpansion_matrix(
-            src_child_pts, src_pts, tgt_child_pts, src_child_normals, src_normals
+    placed = {}
+    for (num_rows, num_cols), es in groups.items():
+        sc_pts, s_pts, tc_pts, sc_nrm, s_nrm = [], [], [], [], []
+        for (i, j, spi, src_child, tpi, tgt_child) in es:
+            src_child_circ = _circ(src_child)
+            src_circ = _circ(src_level[spi])
+            tgt_child_circ = _circ(tgt_child)
+            sc_pts.append(src_child_circ.sample_points(num_cols))
+            s_pts.append(src_circ.sample_points(num_rows))
+            tc_pts.append(tgt_child_circ.sample_points(num_rows))
+            if use_normals:
+                sc_nrm.append(src_child_circ.sample_unit_normals(num_cols))
+                s_nrm.append(src_circ.sample_unit_normals(num_rows))
+        Z = helm_proxy.reexpansion_matrices_batched(
+            np.stack(sc_pts), np.stack(s_pts), np.stack(tc_pts),
+            np.stack(sc_nrm) if use_normals else None,
+            np.stack(s_nrm) if use_normals else None,
         )
+        for b, (i, j, *_rest) in enumerate(es):
+            placed[(i, j)] = Dense(Z[b])
+    # emit in the original enumeration order (stable block layout)
+    for (i, j, *_rest) in entries:
         row_inds.append(i)
         col_inds.append(j)
-        blocks.append(Dense(Z))
+        blocks.append(placed[(i, j)])
 
     return BlockCoo(row_offsets, col_offsets, row_inds, col_inds, blocks)
 

@@ -59,6 +59,81 @@ def _interleave_embed(Z: np.ndarray) -> np.ndarray:
     return R
 
 
+def _extract_block_batches(plan_p, members, npad: int, complex_: bool,
+                           col_budget: int = 1024):
+    # col_budget 1024: the bucketed plan apply fails TPU compilation at
+    # 2048 columns (compile-helper HTTP 500, a VMEM/tiling limit); 1024
+    # compiles and keeps the basis batches reasonably wide.
+    """(B, npad, npad) interleaved-real sub-blocks of the operator behind
+    `plan_p` (a real_embed StagePlan), WITHOUT materializing the full dense
+    matrix: basis columns for a few members at a time are pushed through
+    the device apply and only each member's own row window is gathered out.
+
+    This is what lets the partition plan scale past ~16k points — the full
+    device materialization is O(N^2) HBM (68 GB at n=65536 complex), while
+    the block batches are O(sum of block areas) (~GBs).
+
+    Index bookkeeping: interleaved index j (row 2i = Re_i, 2i+1 = Im_i)
+    maps to the stacked plan's index j//2 + (j%2)*half. Applying the
+    stacked plan to the basis vector of stacked column index gives exactly
+    the interleaved embedding's column (the [[Re,-Im],[Im,Re]] structure
+    emerges from pure-real / pure-imaginary unit inputs).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if complex_:
+        n2s, m2s = 2 * plan_p.shape[0], 2 * plan_p.shape[1]
+    else:
+        n2s, m2s = plan_p.shape
+    half_in = m2s // 2
+    half_out = n2s // 2
+
+    def int2stk(j, half):
+        return j // 2 + (j % 2) * half
+
+    G = max(1, col_budget // npad)
+
+    # three separate jitted steps, NOT one nested jit around the plan
+    # apply: inlining the whole bucketed stage program into an outer jit
+    # broke the remote TPU compiler (HTTP 500 in the compile helper)
+    @jax.jit
+    def make_basis(in_idx, in_ok):
+        basis = jnp.zeros((m2s, in_idx.shape[0]), jnp.float32)
+        return basis.at[in_idx, jnp.arange(in_idx.shape[0])].set(in_ok)
+
+    @jax.jit
+    def gather_rows(Y, out_idx, out_ok):
+        Yg = Y.reshape(n2s, -1, npad).transpose(1, 0, 2)  # (G, n2s, npad)
+        S = jax.vmap(lambda y, r: jnp.take(y, r, axis=0))(Yg, out_idx)
+        return S * out_ok[:, :, None]
+
+    def extract(params, in_idx, in_ok, out_idx, out_ok):
+        Y = plan_p._apply_jit(params, make_basis(in_idx, in_ok))
+        return gather_rows(Y, out_idx, out_ok)
+
+    out = []
+    ar = np.arange(npad)
+    for g0 in range(0, len(members), G):
+        grp = members[g0:g0 + G]
+        in_idx = np.zeros((G, npad), np.int32)
+        in_ok = np.zeros((G, npad), np.float32)
+        out_idx = np.zeros((G, npad), np.int32)
+        out_ok = np.zeros((G, npad), np.float32)
+        for gi, b in enumerate(grp):
+            jj = np.minimum(b.j0 + ar, m2s - 1)
+            ii = np.minimum(b.i0 + ar, n2s - 1)
+            in_idx[gi] = int2stk(jj, half_in) if complex_ else jj
+            out_idx[gi] = int2stk(ii, half_out) if complex_ else ii
+            in_ok[gi] = (ar < b.nc).astype(np.float32)
+            out_ok[gi] = (ar < b.nr).astype(np.float32)
+        S = extract(plan_p._params, jnp.asarray(in_idx.reshape(-1)),
+                    jnp.asarray(in_ok.reshape(-1)), jnp.asarray(out_idx),
+                    jnp.asarray(out_ok))
+        out.append(S[: len(grp)])
+    return jax.block_until_ready(jnp.concatenate(out, axis=0))
+
+
 @dataclasses.dataclass
 class _Blk:
     i0: int      # real row offset
@@ -89,7 +164,8 @@ class PartitionPlan:
     def __init__(self, op: LinOp, rank=None, rank_margin: int = 12,
                  dense_tiles=(64, 96, 128, 192, 256, 384, 512),
                  bf_tiles=(256, 512, 1024),
-                 materialize_chunk: int = 256):
+                 materialize_chunk: int = 256,
+                 dense_materialize_limit_bytes: int = 2 << 30):
         import jax
         import jax.numpy as jnp
 
@@ -177,10 +253,21 @@ class PartitionPlan:
         if bf_blks:
             plan_p = pack(op, block_align=64,
                           real_embed=True if self._complex else None)
-            M = materialize_on_device(plan_p, chunk=materialize_chunk)
-            if self._complex:
-                M = stacked_to_interleaved(M)
-            M = jax.block_until_ready(M)
+            # full dense materialization is the fast path while it fits
+            # HBM comfortably; past that, blocks are extracted batch-wise
+            # through the device apply (O(sum of block areas) memory)
+            full_ok = (self.n2 * self.m2 * 4
+                       <= dense_materialize_limit_bytes)
+            M = None
+            if full_ok:
+                M = materialize_on_device(plan_p, chunk=materialize_chunk)
+                if self._complex:
+                    M = stacked_to_interleaved(M)
+                M = jax.block_until_ready(M)
+            else:
+                log_info("partition: blockwise extraction "
+                         "(dense would be %.1f GB)",
+                         self.n2 * self.m2 * 4 / 2**30)
 
             sizes = [max(b.nr, b.nc) for b in bf_blks]
             keys = _size_classes(sizes, bf_tiles)
@@ -189,25 +276,29 @@ class PartitionPlan:
                 B = len(members)
                 npad = cls
                 NB_sub = max(2, npad // 128)
-                # slice + zero-mask each member into the padded batch
-                r_off = jnp.asarray([b.i0 for b in members], jnp.int32)
-                c_off = jnp.asarray([b.j0 for b in members], jnp.int32)
-                r_len = jnp.asarray([b.nr for b in members], jnp.int32)
-                c_len = jnp.asarray([b.nc for b in members], jnp.int32)
+                if M is not None:
+                    # slice + zero-mask each member into the padded batch
+                    r_off = jnp.asarray([b.i0 for b in members], jnp.int32)
+                    c_off = jnp.asarray([b.j0 for b in members], jnp.int32)
+                    r_len = jnp.asarray([b.nr for b in members], jnp.int32)
+                    c_len = jnp.asarray([b.nc for b in members], jnp.int32)
 
-                @jax.jit
-                def _slice_batch(M, r_off, c_off, r_len, c_len):
-                    ar = jnp.arange(npad)
-                    ri = jnp.minimum(r_off[:, None] + ar[None, :],
-                                     M.shape[0] - 1)
-                    ci = jnp.minimum(c_off[:, None] + ar[None, :],
-                                     M.shape[1] - 1)
-                    S = M[ri[:, :, None], ci[:, None, :]]
-                    mask = ((ar[None, :, None] < r_len[:, None, None])
-                            & (ar[None, None, :] < c_len[:, None, None]))
-                    return jnp.where(mask, S, 0.0)
+                    @jax.jit
+                    def _slice_batch(M, r_off, c_off, r_len, c_len):
+                        ar = jnp.arange(npad)
+                        ri = jnp.minimum(r_off[:, None] + ar[None, :],
+                                         M.shape[0] - 1)
+                        ci = jnp.minimum(c_off[:, None] + ar[None, :],
+                                         M.shape[1] - 1)
+                        S = M[ri[:, :, None], ci[:, None, :]]
+                        mask = ((ar[None, :, None] < r_len[:, None, None])
+                                & (ar[None, None, :] < c_len[:, None, None]))
+                        return jnp.where(mask, S, 0.0)
 
-                Mb = _slice_batch(M, r_off, c_off, r_len, c_len)
+                    Mb = _slice_batch(M, r_off, c_off, r_len, c_len)
+                else:
+                    Mb = _extract_block_batches(
+                        plan_p, members, npad, self._complex)
                 if rank is None:
                     # embedded rank = mul x the fac's own max block rank,
                     # plus margin for the distill's coarser pairings

@@ -43,6 +43,14 @@ def slope(fn, k1, k2, reps=3):
     return (np.median(t2s) - np.median(t1s)) / (k2 - k1)
 
 
+def slope_t(run, k1, k2, reps=3):
+    """Like slope() but run(K) itself returns elapsed seconds."""
+    run(k1), run(k2)  # warm
+    t1 = min(run(k1) for _ in range(reps))
+    t2 = min(run(k2) for _ in range(reps))
+    return (t2 - t1) / (k2 - k1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--phi", default=None, help=".npy eigenvector matrix")
@@ -57,6 +65,9 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--synthetic", action="store_true",
                     help="small DCT table instead of the LBO solve (CPU CI)")
+    ap.add_argument("--config1m", action="store_true",
+                    help="BASELINE configs[1]: compressed lookup + scoring "
+                         "on a 1M x 128 table (skips the LBO pipeline)")
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpret mode (CPU)")
     args = ap.parse_args()
@@ -75,6 +86,10 @@ def main() -> None:
     )
     from butterfly_tpu.ops.pallas_butterfly import FusedButterflyPlan
     from butterfly_tpu.trees import Octree
+
+    if args.config1m:
+        run_config1m(args, jax, jnp, compress_table, recall_at_k)
+        return
 
     # ---- table --------------------------------------------------------
     if args.synthetic:
@@ -132,15 +147,32 @@ def main() -> None:
 
     def top100(scores_qn):
         # approx_max_k: the TPU's native fast top-k (bitonic partial
-        # reduction, ~0.95 recall contract); strict recall below measures
-        # the end-to-end effect against the exact oracle honestly
+        # reduction, ~0.95 recall contract); used on the TIMED serving
+        # path. recall_at_100_strict below is always measured with the
+        # EXACT device top_k so it isolates the format's score fidelity.
         if use_approx:
             return jax.lax.approx_max_k(scores_qn, 100)
         return jax.lax.top_k(scores_qn, 100)
 
-    def timed_qps(run, label):
-        """run(k) executes k chained score+topk steps on device."""
-        t = slope(run, 2, 8)
+    Qd = jnp.asarray(Q)
+    _summ = jax.jit(lambda a: jnp.sum(a))
+
+    def timed_qps(step, params, label):
+        """step(params, Q)->Q' jitted once; K chained DISPATCHES (slope of
+        two chain lengths). NOT a fori_loop: this box's remote compiler
+        takes minutes/never on loop-wrapped programs (see bench.py)."""
+        jfn = jax.jit(step)
+        float(_summ(jfn(params, Qd)))  # compile
+
+        def run(k):
+            cur = Qd
+            t0 = time.perf_counter()
+            for _ in range(int(k)):
+                cur = jfn(params, cur)
+            float(_summ(cur))
+            return time.perf_counter() - t0
+
+        t = slope_t(run, 2, 10)
         qps = q / t
         log(f"{label}: {t*1e3:.2f} ms/batch ({qps:,.0f} q/s)")
         return qps
@@ -150,19 +182,13 @@ def main() -> None:
     ct = compress_table(Phi, rank=args.rank_one_level, block_rows=128,
                         svd_dtype=np.float32)
     log(f"one-level setup {time.time()-t0:.1f} s")
-    Qd = jnp.asarray(Q)
 
-    @jax.jit
-    def run_ct(ct, Q0, k):
-        def body(i, carry):
-            Qc, acc = carry
-            vals, idx = ct.topk(Qc, 100, approx=use_approx)
-            return Qc * (1.0 + 1e-30 * jnp.sum(vals)), acc + idx[0, 0]
-        _, acc = jax.lax.fori_loop(0, k, body, (Q0, jnp.int32(0)))
-        return acc
+    def step_ct(ct_, Qc):
+        vals, _ = ct_.topk(Qc, 100, approx=use_approx)
+        return Qc * (1.0 + 1e-30 * jnp.sum(vals))
 
-    qps_ct = timed_qps(lambda k: int(run_ct(ct, Qd, k)), "one_level")
-    _, idx_ct = ct.topk(Qd, 100, approx=use_approx)
+    qps_ct = timed_qps(step_ct, ct, "one_level")
+    _, idx_ct = jax.jit(lambda c, Q0: c.topk(Q0, 100))(ct, Qd)
     rec_ct = recall_at_k(np.asarray(idx_ct), true100)
     mb_ct = ct.nbytes() / 1e6
     results.append({
@@ -185,19 +211,15 @@ def main() -> None:
         f"buckets {dt.plan.stats.num_gemm_buckets}")
     fn_dt = dt.plan._apply_jit
 
-    @jax.jit
-    def run_dt(params, Q0, k):
-        def body(i, carry):
-            Qc, acc = carry
-            scores = fn_dt(params, Qc.T)            # (n, q)
-            vals, idx = top100(scores.T)
-            return Qc * (1.0 + 1e-30 * jnp.sum(vals)), acc + idx[0, 0]
-        _, acc = jax.lax.fori_loop(0, k, body, (Q0, jnp.int32(0)))
-        return acc
+    def step_dt(params, Qc):
+        scores = fn_dt(params, Qc.T)            # (n, q)
+        vals, _ = top100(scores.T)
+        return Qc * (1.0 + 1e-30 * jnp.sum(vals))
 
-    qps_dt = timed_qps(lambda k: int(run_dt(dt.plan._params, Qd, k)),
-                       "deep_packed")
-    _, idx_dt = dt.topk(Qd, 100, approx=use_approx)
+    qps_dt = timed_qps(step_dt, dt.plan._params, "deep_packed")
+    _, idx_dt = jax.jit(
+        lambda p, Q0: jax.lax.top_k(fn_dt(p, Q0.T).T, 100)
+    )(dt.plan._params, Qd)
     rec_dt = recall_at_k(np.asarray(idx_dt), true100)
     mb_dt = dt.nbytes_logical() / 1e6
     results.append({
@@ -231,21 +253,18 @@ def main() -> None:
 
     fn_fp = functools.partial(_apply_fused, plan._meta)
 
-    @jax.jit
-    def run_fp(params, Q0, k):
-        def body(i, carry):
-            Qc, acc = carry
-            scores = fn_fp(params, Qc.T)            # (n, q) butterfly order
-            vals, idx = top100(scores.T)
-            return Qc * (1.0 + 1e-30 * jnp.sum(vals)), acc + idx[0, 0]
-        _, acc = jax.lax.fori_loop(0, k, body, (Q0, jnp.int32(0)))
-        return acc
+    def step_fp(params, Qc):
+        scores = fn_fp(params, Qc.T)            # (n, q) butterfly order
+        vals, _ = top100(scores.T)
+        return Qc * (1.0 + 1e-30 * jnp.sum(vals))
 
-    qps_fp = timed_qps(lambda k: int(run_fp(plan._params, Qd, k)),
-                       "deep_fused")
-    scores_bf = np.asarray(plan.apply(np.asarray(Qd).T))
-    idx_bf = np.argsort(-scores_bf.T, axis=1)[:, :100]
-    idx_fp = dist.row_perm[idx_bf]                 # butterfly -> table rows
+    qps_fp = timed_qps(step_fp, plan._params, "deep_fused")
+    # strict recall: EXACT top_k on device (fetching the full score matrix
+    # would be a ~170 MB device->host pull at ~20 MB/s on this box)
+    _, idx_bf = jax.jit(
+        lambda p, Q0: jax.lax.top_k(fn_fp(p, Q0.T).T, 100)
+    )(plan._params, Qd)
+    idx_fp = dist.row_perm[np.asarray(idx_bf)]     # butterfly -> table rows
     rec_fp = recall_at_k(idx_fp, true100)
     mb_fp = dist.nbytes() / 1e6
     results.append({
@@ -263,6 +282,118 @@ def main() -> None:
             json.dump(results, f, indent=1)
         log(f"wrote {args.out}")
     print(json.dumps(results))
+
+
+def run_config1m(args, jax, jnp, compress_table, recall_at_k) -> None:
+    """BASELINE configs[1] verbatim: 'recursive block matvec as single-host
+    compressed embedding lookup, 1M x 128 table' — compress, lookup, score,
+    top-k, recall@100 vs exact dense scoring (reference apply analogue:
+    blockwise MulVec, src/mat_block_dense.c:574-630).
+
+    The table must be butterfly-compressible (a random table has no
+    structure to compress), so rows are smooth kernel features — the same
+    construction as the bench's streamed-fac section at 1M scale.
+    """
+    n, d, br = 1 << 20, 128, 128
+    rank = args.rank_one_level // 2 if args.rank_one_level else 24
+    q = args.queries
+    t0 = time.time()
+    # Per-block low-rank + noise: the canonical compressible-table model
+    # for the blocked format (each 128-row block lies near an 8-dim
+    # subspace; rows across blocks are independent). A globally-smooth
+    # table (e.g. cos features) is also compressible but its rows are
+    # near-duplicates, which makes strict top-100 a tie-breaking lottery
+    # (measured: recall 0.139 at reconstruction error 7e-8) — that
+    # measures score degeneracy, not the format.
+    NBb = n // br
+    sig_rank, noise = 8, 3e-3
+    rng0 = np.random.default_rng(7)
+    U = rng0.standard_normal((NBb, br, sig_rank), dtype=np.float32)
+    V = rng0.standard_normal((NBb, sig_rank, d), dtype=np.float32)
+    Phi = (U @ V) / np.float32(np.sqrt(sig_rank * d))
+    Phi += noise * rng0.standard_normal((NBb, br, d), dtype=np.float32)
+    Phi = np.ascontiguousarray(Phi.reshape(n, d))
+    log(f"config1m table: {n} x {d} (block rank {sig_rank} + {noise} "
+        f"noise), dense {Phi.nbytes/1e6:.0f} MB ({time.time()-t0:.1f} s)")
+
+    t0 = time.time()
+    ct = compress_table(Phi, rank=rank, block_rows=br,
+                        svd_dtype=np.float32)
+    setup_s = time.time() - t0
+    mb = ct.nbytes() / 1e6
+    dense_mb = Phi.nbytes / 1e6
+    log(f"config1m compress: rank={rank} {mb:.0f} MB "
+        f"({mb/dense_mb:.3f} of dense) in {setup_s:.1f} s")
+
+    rng = np.random.default_rng(0)
+    Q = rng.standard_normal((q, d)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    Qd = jnp.asarray(Q)
+
+    # exact oracle ON DEVICE (uploads are fast on this box; fetches and a
+    # 1M x q host argsort are not)
+    Phi_dev = jnp.asarray(Phi)
+    true100 = np.asarray(jax.jit(
+        lambda P, Q0: jax.lax.top_k((Q0 @ P.T), 100)[1]
+    )(Phi_dev, Qd))
+
+    # lookup: gather rows out of the compressed factors vs dense rows
+    ids = jnp.asarray(rng.integers(0, n, size=4096))
+    rows_c = np.asarray(jax.jit(lambda c, i: c.lookup(i))(ct, ids))
+    rows_d = np.asarray(jax.jit(lambda P, i: jnp.take(P, i, axis=0)
+                                )(Phi_dev, ids))
+    lookup_rel = float(np.linalg.norm(rows_c - rows_d)
+                       / max(np.linalg.norm(rows_d), 1e-30))
+    log(f"config1m lookup rel err: {lookup_rel:.2e}")
+
+    use_approx = (not args.exact_topk) and jax.default_backend() == "tpu"
+    _summ = jax.jit(lambda a: jnp.sum(a))
+
+    def step_ct(ct_, Qc):
+        vals, _ = ct_.topk(Qc, 100, approx=use_approx)
+        return Qc * (1.0 + 1e-30 * jnp.sum(vals))
+
+    jfn = jax.jit(step_ct)
+    float(_summ(jfn(ct, Qd)))
+
+    def run(k):
+        cur = Qd
+        t0 = time.perf_counter()
+        for _ in range(int(k)):
+            cur = jfn(ct, cur)
+        float(_summ(cur))
+        return time.perf_counter() - t0
+
+    t = slope_t(run, 2, 10)
+    qps = q / t
+    log(f"config1m serving: {t*1e3:.2f} ms/batch ({qps:,.0f} q/s)")
+
+    _, idx = jax.jit(lambda c, Q0: c.topk(Q0, 100))(ct, Qd)
+    rec = recall_at_k(np.asarray(idx), true100)
+    row = {
+        "format": "one_level_1m", "n": n, "d": d, "rank": rank,
+        "block_rows": br, "mb": round(mb, 1), "dense_mb": round(dense_mb, 1),
+        "compression_ratio": round(mb / dense_mb, 3),
+        "setup_s": round(setup_s, 1),
+        "lookup_rel_err": float(f"{lookup_rel:.2e}"),
+        "queries_per_s": int(qps),
+        "recall_at_100_strict": round(rec, 4),
+        "device": str(jax.devices()[0]),
+    }
+    log(json.dumps(row))
+    out = [row]
+    if args.out:
+        mode = "r+" if os.path.exists(args.out) else None
+        if mode:  # append to an existing artifact
+            with open(args.out) as f:
+                try:
+                    out = json.load(f) + out
+                except ValueError:
+                    pass
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        log(f"wrote {args.out}")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -46,3 +46,17 @@ def test_partition_rejects_oversize_tiles(helm_fac):
     _, A = helm_fac
     with pytest.raises(InvalidArgumentsError):
         partition_apply_plan(A, dense_tiles=(8,), bf_tiles=(8,))
+
+
+def test_partition_blockwise_extraction_matches(helm_fac):
+    """Forcing the O(block-areas) block-wise extraction (the >16k-points
+    path, dense_materialize_limit_bytes=0) must reproduce the full-dense
+    materialization path to fp accuracy."""
+    nE, A = helm_fac
+    pp = partition_apply_plan(A, dense_materialize_limit_bytes=0)
+    rng = np.random.default_rng(1)
+    zs = rng.standard_normal((nE, 3)) + 1j * rng.standard_normal((nE, 3))
+    got = pp.apply_complex(zs)
+    want = A.matmat(zs)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-5, f"blockwise partition apply rel {rel:.2e}"
