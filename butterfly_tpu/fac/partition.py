@@ -59,79 +59,43 @@ def _interleave_embed(Z: np.ndarray) -> np.ndarray:
     return R
 
 
-def _extract_block_batches(plan_p, members, npad: int, complex_: bool,
-                           col_budget: int = 1024):
-    # col_budget 1024: the bucketed plan apply fails TPU compilation at
-    # 2048 columns (compile-helper HTTP 500, a VMEM/tiling limit); 1024
-    # compiles and keeps the basis batches reasonably wide.
-    """(B, npad, npad) interleaved-real sub-blocks of the operator behind
-    `plan_p` (a real_embed StagePlan), WITHOUT materializing the full dense
-    matrix: basis columns for a few members at a time are pushed through
-    the device apply and only each member's own row window is gathered out.
+def _materialize_chain(chain) -> np.ndarray:
+    """Dense (nr, nc) matrix of one positioned chain: multiply its pure-GEMM
+    factors on the host (f64/c128 BLAS). A butterfly chain's factors are
+    each a few small blocks, so this costs exactly the block's own flops —
+    no basis columns are pushed through the whole operator."""
+    cur = None
+    for f in chain.factors:
+        check(not f.scales,
+              "chain materialization expects pure-GEMM factors")
+        dt = np.result_type(*(u.data.dtype for u in f.gemms))
+        out = np.zeros((f.out_dim, f.in_dim), dt)
+        for u in f.gemms:
+            d = np.asarray(u.data)
+            out[u.out_off:u.out_off + d.shape[0],
+                u.in_off:u.in_off + d.shape[1]] += d
+        cur = out if cur is None else out @ cur
+    return cur
 
-    This is what lets the partition plan scale past ~16k points — the full
-    device materialization is O(N^2) HBM (68 GB at n=65536 complex), while
-    the block batches are O(sum of block areas) (~GBs).
 
-    Index bookkeeping: interleaved index j (row 2i = Re_i, 2i+1 = Im_i)
-    maps to the stacked plan's index j//2 + (j%2)*half. Applying the
-    stacked plan to the basis vector of stacked column index gives exactly
-    the interleaved embedding's column (the [[Re,-Im],[Im,Re]] structure
-    emerges from pure-real / pure-imaginary unit inputs).
-    """
+def _extract_block_batches(members, npad: int, complex_: bool):
+    """(B, npad, npad) interleaved-real block batch for one butterfly
+    class, WITHOUT materializing the full dense operator: each member's
+    chain is multiplied out on the host at its own (small) cost and
+    embedded/padded in place. This is what lets the partition plan scale
+    past ~16k points — a full device materialization is O(N^2) HBM (68 GB
+    at n=65536 complex), while the block batches are O(sum of block areas).
+    Upload is cheap on this box (~500 MB/s); it is device->host fetches
+    that are slow, and this path performs none."""
     import jax
     import jax.numpy as jnp
 
-    if complex_:
-        n2s, m2s = 2 * plan_p.shape[0], 2 * plan_p.shape[1]
-    else:
-        n2s, m2s = plan_p.shape
-    half_in = m2s // 2
-    half_out = n2s // 2
-
-    def int2stk(j, half):
-        return j // 2 + (j % 2) * half
-
-    G = max(1, col_budget // npad)
-
-    # three separate jitted steps, NOT one nested jit around the plan
-    # apply: inlining the whole bucketed stage program into an outer jit
-    # broke the remote TPU compiler (HTTP 500 in the compile helper)
-    @jax.jit
-    def make_basis(in_idx, in_ok):
-        basis = jnp.zeros((m2s, in_idx.shape[0]), jnp.float32)
-        return basis.at[in_idx, jnp.arange(in_idx.shape[0])].set(in_ok)
-
-    @jax.jit
-    def gather_rows(Y, out_idx, out_ok):
-        Yg = Y.reshape(n2s, -1, npad).transpose(1, 0, 2)  # (G, n2s, npad)
-        S = jax.vmap(lambda y, r: jnp.take(y, r, axis=0))(Yg, out_idx)
-        return S * out_ok[:, :, None]
-
-    def extract(params, in_idx, in_ok, out_idx, out_ok):
-        Y = plan_p._apply_jit(params, make_basis(in_idx, in_ok))
-        return gather_rows(Y, out_idx, out_ok)
-
-    out = []
-    ar = np.arange(npad)
-    for g0 in range(0, len(members), G):
-        grp = members[g0:g0 + G]
-        in_idx = np.zeros((G, npad), np.int32)
-        in_ok = np.zeros((G, npad), np.float32)
-        out_idx = np.zeros((G, npad), np.int32)
-        out_ok = np.zeros((G, npad), np.float32)
-        for gi, b in enumerate(grp):
-            jj = np.minimum(b.j0 + ar, m2s - 1)
-            ii = np.minimum(b.i0 + ar, n2s - 1)
-            in_idx[gi] = int2stk(jj, half_in) if complex_ else jj
-            out_idx[gi] = int2stk(ii, half_out) if complex_ else ii
-            in_ok[gi] = (ar < b.nc).astype(np.float32)
-            out_ok[gi] = (ar < b.nr).astype(np.float32)
-        S = extract(plan_p._params, jnp.asarray(in_idx.reshape(-1)),
-                    jnp.asarray(in_ok.reshape(-1)), jnp.asarray(out_idx),
-                    jnp.asarray(out_ok))
-        out.append(S[: len(grp)])
-    return jax.block_until_ready(jnp.concatenate(out, axis=0))
+    W = np.zeros((len(members), npad, npad), np.float32)
+    for bi, b in enumerate(members):
+        Z = _materialize_chain(b.chain)
+        Zr = _interleave_embed(Z) if complex_ else np.asarray(Z, np.float32)
+        W[bi, :Zr.shape[0], :Zr.shape[1]] = Zr
+    return jax.block_until_ready(jnp.asarray(W))
 
 
 @dataclasses.dataclass
@@ -141,6 +105,7 @@ class _Blk:
     nr: int      # real rows (true)
     nc: int      # real cols (true)
     rmax: int = 0  # max unit rank of the source chain (pre-embedding)
+    chain: object = None  # the positioned factor chain (for materialization)
 
 
 def _size_classes(sizes, tiles):
@@ -162,7 +127,8 @@ class PartitionPlan:
     jitted `apply_with`); `apply(x)` is the convenience wrapper."""
 
     def __init__(self, op: LinOp, rank=None, rank_margin: int = 12,
-                 dense_tiles=(64, 96, 128, 192, 256, 384, 512),
+                 dense_tiles=(64, 96, 128, 192, 256, 384, 512, 768, 1024,
+                              1536, 2048, 3072, 4096),
                  bf_tiles=(256, 512, 1024),
                  materialize_chunk: int = 256,
                  dense_materialize_limit_bytes: int = 2 << 30):
@@ -207,7 +173,42 @@ class PartitionPlan:
                 blk.rmax = max(
                     min(u.data.shape) for f in c.factors for u in f.gemms
                 )
+                blk.chain = c
                 bf_blks.append(blk)
+
+        # oversized butterfly blocks (top partition levels are ~N/4 wide —
+        # far beyond the largest distill tile) each apply through their OWN
+        # packed stage plan with index-mapped gather/scatter; the chain's
+        # product structure is preserved, nothing is densified
+        mega_blks = [b for b in bf_blks if max(b.nr, b.nc) > bf_tiles[-1]]
+        bf_blks = [b for b in bf_blks if max(b.nr, b.nc) <= bf_tiles[-1]]
+        if mega_blks:
+            log_info("partition: %d oversized butterfly blocks apply via "
+                     "their own stage plans", len(mega_blks))
+
+        # butterfly blocks whose distill rank would hit the npad//2 cap
+        # cannot actually compress at their class size — distilling them
+        # anyway silently truncates (measured ~2e-6 rel err at high
+        # wavenumber). Route those to the dense classes: a batched GEMM at
+        # full rank is both exact and faster than a fake butterfly.
+        if bf_blks:
+            keys0 = _size_classes([max(b.nr, b.nc) for b in bf_blks],
+                                  bf_tiles)
+            keep = []
+            for b, npad0 in zip(bf_blks, keys0):
+                if rank is None and (mul * b.rmax + rank_margin
+                                     >= npad0 // 2):
+                    Z = _materialize_chain(b.chain)
+                    W = (_interleave_embed(Z) if self._complex
+                         else np.asarray(Z, np.float32))
+                    dense_blks.append((b, W))
+                else:
+                    keep.append(b)
+            if len(keep) != len(bf_blks):
+                log_info("partition: %d uncompressible butterfly blocks "
+                         "routed to dense classes",
+                         len(bf_blks) - len(keep))
+            bf_blks = keep
 
         log_info("partition: %d dense blocks, %d butterfly blocks",
                  len(dense_blks), len(bf_blks))
@@ -251,21 +252,21 @@ class PartitionPlan:
 
         # ---- butterfly classes (sliced from the device materialization) --
         if bf_blks:
-            plan_p = pack(op, block_align=64,
-                          real_embed=True if self._complex else None)
             # full dense materialization is the fast path while it fits
-            # HBM comfortably; past that, blocks are extracted batch-wise
-            # through the device apply (O(sum of block areas) memory)
+            # HBM comfortably; past that, each block's chain is multiplied
+            # out host-side (O(sum of block areas) memory, no device fetch)
             full_ok = (self.n2 * self.m2 * 4
                        <= dense_materialize_limit_bytes)
             M = None
             if full_ok:
+                plan_p = pack(op, block_align=64,
+                              real_embed=True if self._complex else None)
                 M = materialize_on_device(plan_p, chunk=materialize_chunk)
                 if self._complex:
                     M = stacked_to_interleaved(M)
                 M = jax.block_until_ready(M)
             else:
-                log_info("partition: blockwise extraction "
+                log_info("partition: host chain materialization "
                          "(dense would be %.1f GB)",
                          self.n2 * self.m2 * 4 / 2**30)
 
@@ -298,7 +299,7 @@ class PartitionPlan:
                     Mb = _slice_batch(M, r_off, c_off, r_len, c_len)
                 else:
                     Mb = _extract_block_batches(
-                        plan_p, members, npad, self._complex)
+                        members, npad, self._complex)
                 if rank is None:
                     # embedded rank = mul x the fac's own max block rank,
                     # plus margin for the distill's coarser pairings
@@ -345,12 +346,66 @@ class PartitionPlan:
                          dist.max_sv_discarded)
             del M
 
+        # ---- oversized butterfly blocks: one packed stage plan each ------
+        self._mega = []
+        if mega_blks:
+            from butterfly_tpu.ops.linop import Scaled as _Scaled
+
+            for b in mega_blks:
+                c = b.chain
+                check(c is not None and c.src is not None,
+                      "oversized block lost its source operator")
+                sub = (c.src if c.src_scale == 1.0
+                       else _Scaled(c.src_scale, c.src))
+                sp = pack(sub, real_embed=True if self._complex else None,
+                          precision="highest")
+                nr_c, nc_c = sub.shape
+                if self._complex:
+                    # interleaved global index <-> the sub-plan's stacked
+                    # [Re; Im] layout
+                    in_idx = np.concatenate([
+                        b.j0 + 2 * np.arange(nc_c),
+                        b.j0 + 2 * np.arange(nc_c) + 1])
+                    out_idx = np.concatenate([
+                        b.i0 + 2 * np.arange(nr_c),
+                        b.i0 + 2 * np.arange(nr_c) + 1])
+                else:
+                    in_idx = b.j0 + np.arange(nc_c)
+                    out_idx = b.i0 + np.arange(nr_c)
+                self._mega.append((sp, jnp.asarray(in_idx, jnp.int32),
+                                   jnp.asarray(out_idx, jnp.int32)))
+                self._flops += 2 * sp.stats.padded_flops_per_col
+                self._nbytes += sp.stats.weight_bytes
+
         self.params = params
         n2 = self.n2
         hp = jax.lax.Precision.HIGHEST
+        has_mega = bool(self._mega)
 
         def apply_with(params, x):
-            """x: (n2, r) interleaved real, TREE index order."""
+            """x: (n2, r) interleaved real, TREE index order. Covers the
+            tiled classes only — plans with oversized blocks must go
+            through apply()/apply_device (their sub-plans cannot be nested
+            in an outer jit: the remote TPU compiler rejects the combined
+            program)."""
+            check(not has_mega,
+                  "this plan has oversized blocks; use apply()/"
+                  "apply_device(), not the jittable apply_with")
+            y = jnp.zeros((n2 + 1, x.shape[1]), x.dtype)
+            for W, in_idx, out_idx in params["dense"]:
+                xa = jnp.take(x, in_idx.reshape(-1), axis=0).reshape(
+                    in_idx.shape[0], in_idx.shape[1], x.shape[1])
+                ya = jnp.einsum("bmk,bkr->bmr", W, xa, precision=hp)
+                y = y.at[out_idx.reshape(-1)].add(
+                    ya.reshape(-1, x.shape[1]))
+            for fn, (bfp, in_idx, out_idx) in zip(
+                    self._bf_fns, params["bf"]):
+                xa = jnp.take(x, in_idx, axis=0)
+                ya = fn(bfp, xa)
+                y = y.at[out_idx].add(ya)
+            return y[:n2]
+
+        def tiled_with(params, x):
             y = jnp.zeros((n2 + 1, x.shape[1]), x.dtype)
             for W, in_idx, out_idx in params["dense"]:
                 xa = jnp.take(x, in_idx.reshape(-1), axis=0).reshape(
@@ -366,14 +421,29 @@ class PartitionPlan:
             return y[:n2]
 
         self.apply_with = apply_with
-        self._apply_jit = jax.jit(apply_with)
+        self._apply_jit = jax.jit(tiled_with)
+        self._gather = jax.jit(
+            lambda x, idx: jnp.take(x, idx, axis=0))
+        self._scatter_add = jax.jit(
+            lambda y, idx, v: y.at[idx].add(v.astype(y.dtype)))
 
     # -- conveniences ----------------------------------------------------
 
-    def apply(self, x):
+    def apply_device(self, x):
+        """Full apply as device arrays: the tiled-class jit plus each
+        oversized block's own stage plan (composed at the Python level —
+        dispatches pipeline; only the final consumer synchronizes)."""
         import jax.numpy as jnp
 
-        return self._apply_jit(self.params, jnp.asarray(x))
+        x = jnp.asarray(x)
+        y = self._apply_jit(self.params, x)
+        for sp, in_idx, out_idx in self._mega:
+            ys = sp._apply_jit(sp._params, self._gather(x, in_idx))
+            y = self._scatter_add(y, out_idx, ys)
+        return y
+
+    def apply(self, x):
+        return self.apply_device(x)
 
     def apply_complex(self, Z):
         """Complex (n, r) in, complex (n, r) out (host convenience)."""

@@ -71,6 +71,8 @@ class _Chain:
     i0: int  # global output row offset
     j0: int  # global input col offset
     factors: list[_Factor]  # applied first-to-last
+    src: object = None      # the Product LinOp this chain came from
+    src_scale: complex | float = 1.0  # scale folded into the first factor
 
 
 def _single_stage(op: L.LinOp, scale: complex | float = 1.0) -> _Factor:
@@ -151,7 +153,7 @@ def _flatten(op: L.LinOp, i0: int, j0: int, chains: list[_Chain],
         for idx, f in enumerate(factors):
             # fold the scalar into the first factor only
             staged.append(_single_stage(f, scale if idx == 0 else 1.0))
-        chains.append(_Chain(i0, j0, staged))
+        chains.append(_Chain(i0, j0, staged, src=op, src_scale=scale))
     elif isinstance(op, L.BlockDense):
         for bi, row in enumerate(op.grid):
             for bj, b in enumerate(row):

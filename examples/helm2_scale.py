@@ -30,25 +30,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_one(n: int, ppw: float, leaf: int, queries: int = 32):
-    # queries=32: the packed plan's stage buffer is ~2200x n rows at
-    # these wavenumbers; r=128 allocated 18 GB at n=16384 (OOM)
+def run_one(n: int, ppw: float, leaf: int, queries: int = 128):
     import jax
     import jax.numpy as jnp
 
     from butterfly_tpu.fac import helm2 as fac_helm2
     from butterfly_tpu.geom import Ellipse
     from butterfly_tpu.ops.helm2 import Helm2, LayerPot
+    from butterfly_tpu.fac.partition import partition_apply_plan
     from butterfly_tpu.ops.linalg import solve_gmres
     from butterfly_tpu.ops.linop import FuncOp
-    from butterfly_tpu.ops.packed import pack
     from butterfly_tpu.trees import Quadtree
 
     ell = Ellipse(1.0, 0.7, (0.0, 0.0), 0.3)
     X, _, Nrm, w = ell.sample_linspaced(n)
     perimeter = float(np.sum(w))
     k = 2 * np.pi * n / (ppw * perimeter)
-    helm = Helm2(k=k, layer_pot=LayerPot.PV_NORMAL_DERIV_SINGLE)
+    # exterior-Dirichlet combined field D - i*k*S: resonance-free, so
+    # GMRES converges at every wavenumber (S'-alone stalled near interior
+    # resonances at k~75: 300 iters, rel res 8e-3)
+    helm = Helm2(k=k, layer_pot=LayerPot.COMBINED_FIELD,
+                 alpha=-1j * k, beta=1.0)
     rec = {"n": n, "k": round(k, 1), "ppw": ppw}
     log(f"n={n}: k={k:.1f} (ppw={ppw})")
 
@@ -59,31 +61,37 @@ def run_one(n: int, ppw: float, leaf: int, queries: int = 32):
     log(f"  fac setup: {rec['setup_fac_s']} s")
 
     t0 = time.time()
-    plan = pack(A, real_embed=True, precision="highest")
-    jax.block_until_ready(plan._params)
-    rec["setup_pack_s"] = round(time.time() - t0, 1)
-    rec["weights_mb"] = round(plan.stats.weight_bytes / 1e6, 1)
+    # partition plan: chain-materialized butterfly classes + batched device
+    # distillation — the O(sum-of-block-areas) path (the generic packed
+    # StagePlan's gather buffer is ~2200x n rows at these wavenumbers and
+    # OOMs HBM at n=16384)
+    plan = partition_apply_plan(A, rank_margin=96)
+    rec["setup_plan_s"] = round(time.time() - t0, 1)
+    rec["weights_mb"] = round(plan.nbytes() / 1e6, 1)
     rec["dense_mb"] = round(n * n * 16 / 1e6, 1)
-    rec["compression_ratio"] = round(
-        plan.stats.weight_bytes / (n * n * 16), 4)
-    log(f"  pack: {rec['setup_pack_s']} s, {rec['weights_mb']} MB "
+    rec["compression_ratio"] = round(plan.nbytes() / (n * n * 16), 4)
+    log(f"  plan: {rec['setup_plan_s']} s, {rec['weights_mb']} MB "
         f"({rec['compression_ratio']:.4f} of dense c128)")
 
     # ---- device apply throughput (dispatch-chained slope; NO fori) ------
     r = queries
     x0 = jax.random.normal(jax.random.key(0), (2 * n, r), jnp.float32)
-    fn = plan._apply_jit
     summ = jax.jit(lambda a: jnp.sum(a))
-    # one apply per step; normalize to keep the chain bounded
-    step = jax.jit(lambda p, c: (lambda y: y * jax.lax.rsqrt(
-        jnp.mean(y * y) + 1e-30))(fn(p, c)))
-    float(summ(step(plan._params, x0)))
+    normz = jax.jit(lambda y: y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-30))
+
+    # apply_device composes the tiled-class jit with each oversized
+    # block's own stage plan at the Python level (they cannot nest in one
+    # jit on this box); dispatches pipeline, the scalar fetch synchronizes
+    def step(c):
+        return normz(plan.apply_device(c))
+
+    float(summ(step(x0)))
 
     def rep(K):
         cur = x0
         t = time.perf_counter()
         for _ in range(int(K)):
-            cur = step(plan._params, cur)
+            cur = step(cur)
         float(summ(cur))
         return time.perf_counter() - t
 
@@ -91,7 +99,7 @@ def run_one(n: int, ppw: float, leaf: int, queries: int = 32):
     t2 = min(rep(2) for _ in range(3))
     t8 = min(rep(8) for _ in range(3))
     per = (t8 - t2) / 6
-    flops = plan.stats.padded_flops_per_col * r
+    flops = plan.flops_per_col() * r
     rec["apply_ms"] = round(per * 1e3, 2)
     rec["apply_tflops"] = round(flops / per / 1e12, 2)
     log(f"  apply r={r}: {per*1e3:.2f} ms -> {rec['apply_tflops']} TFLOP/s")
@@ -99,26 +107,36 @@ def run_one(n: int, ppw: float, leaf: int, queries: int = 32):
     # ---- accuracy vs dense oracle (row subset) --------------------------
     rng = np.random.default_rng(0)
     zs = rng.standard_normal((n, 2)) + 1j * rng.standard_normal((n, 2))
-    got = plan(zs)  # host complex in/out through the device
+    got = plan.apply_complex(zs)
     sub = rng.choice(n, 96, replace=False)
     Xp, Np = X[tree.perm], Nrm[tree.perm]
-    Kd = helm.kernel_matrix(Xp, Xp[sub], None, Np[sub])
+    Kd = helm.kernel_matrix(Xp, Xp[sub], Np, None)
     want = Kd @ zs
     rel = float(np.linalg.norm(got[sub] - want) / np.linalg.norm(want))
     rec["rel_err_vs_dense"] = float(f"{rel:.2e}")
     log(f"  rel err vs dense (96-row oracle): {rel:.2e}")
 
     # ---- GMRES on the second-kind BIE -----------------------------------
-    # system: (I/2 + S'_w) sigma = du/dn of an interior source, matching
-    # the reference flagship example (examples/simple/helm2_bie.c:162-175).
+    # system: (I/2 + (D - ikS)_w) sigma = u_inc of an interior source —
+    # the combined-field analogue of the reference flagship example
+    # (examples/simple/helm2_bie.c:162-175).
     x_src = np.array([[0.1, -0.05]])
-    rhs = helm.kernel_matrix(x_src, Xp, None, Np)[:, 0]
+    from butterfly_tpu.ops.helm2 import Helm2 as _H
+    rhs = _H(k=k, layer_pot=LayerPot.SINGLE).kernel_matrix(x_src, Xp)[:, 0]
     wp = w[tree.perm]
 
     def sys_matmat(V):
+        # pad single-RHS GMRES matvecs to the already-compiled width r:
+        # the plan's (tiled jit + per-oversized-block) executables would
+        # otherwise all recompile at width 1 (~150 compiles; measured 968 s
+        # of a 23-iteration solve at n=16384)
         V = np.ascontiguousarray(V)
-        out = np.asarray(plan(wp[:, None] * V))
-        return out + 0.5 * V
+        k_true = V.shape[1]
+        if k_true < r:
+            V = np.concatenate(
+                [V, np.zeros((V.shape[0], r - k_true), V.dtype)], axis=1)
+        out = np.asarray(plan.apply_complex(wp[:, None] * V))[:, :k_true]
+        return out + 0.5 * V[:, :k_true]
 
     sysop = FuncOp((n, n), sys_matmat, dtype=np.complex128)
     t0 = time.time()

@@ -306,7 +306,7 @@ def run_config1m(args, jax, jnp, compress_table, recall_at_k) -> None:
     # (measured: recall 0.139 at reconstruction error 7e-8) — that
     # measures score degeneracy, not the format.
     NBb = n // br
-    sig_rank, noise = 8, 3e-3
+    sig_rank, noise = 8, 1e-3
     rng0 = np.random.default_rng(7)
     U = rng0.standard_normal((NBb, br, sig_rank), dtype=np.float32)
     V = rng0.standard_normal((NBb, sig_rank, d), dtype=np.float32)

@@ -60,3 +60,31 @@ def test_partition_blockwise_extraction_matches(helm_fac):
     want = A.matmat(zs)
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 2e-5, f"blockwise partition apply rel {rel:.2e}"
+
+
+def test_partition_oversized_blocks_via_stage_plans():
+    """Blocks wider than the largest butterfly tile apply through their own
+    packed stage plans (the >=16k-points path, where top partition levels
+    are ~N/4 wide); forcing a small tile cap here must still match the
+    fac. (The shared 1024-point fixture has no separated blocks at all, so
+    this test builds a 2048-point operator that does.)"""
+    nE = 2048
+    ell = Ellipse(1.0, 0.7, (0.0, 0.0), 0.3)
+    X, _, Nrm, _ = ell.sample_linspaced(nE)
+    helm = Helm2(k=40.0, layer_pot=LayerPot.SINGLE)
+    tree = Quadtree(X, leaf_size=32, normals=Nrm)
+    A = fac_helm2.make_multilevel(helm, tree, tree)
+    pp = partition_apply_plan(A, bf_tiles=(256,),
+                              dense_materialize_limit_bytes=0)
+    assert pp._mega, "expected oversized blocks with a 256 tile cap"
+    rng = np.random.default_rng(2)
+    zs = rng.standard_normal((nE, 3)) + 1j * rng.standard_normal((nE, 3))
+    got = pp.apply_complex(zs)
+    want = A.matmat(zs)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-5, f"oversized-block partition apply rel {rel:.2e}"
+    # the jittable tiled-only path must refuse (it would silently drop
+    # the oversized blocks)
+    import jax.numpy as jnp
+    with pytest.raises(Exception):
+        pp.apply_with(pp.params, jnp.zeros((2 * nE, 2), jnp.float32))
