@@ -108,8 +108,12 @@ class _Blk:
     chain: object = None  # the positioned factor chain (for materialization)
 
 
-def _size_classes(sizes, tiles):
-    """Map each size to the smallest tile >= size (last tile = catch-all)."""
+def _size_classes(sizes, tiles, extend: bool = False):
+    """Map each size to the smallest tile >= size. With extend=True, sizes
+    beyond the last tile get a synthesized tile (next multiple of 512) —
+    used for dense classes, where a batched GEMM works at any size; the
+    butterfly tile list stays closed (oversized blocks take the per-block
+    stage-plan path instead)."""
     out = []
     for s in sizes:
         for t in tiles:
@@ -117,8 +121,11 @@ def _size_classes(sizes, tiles):
                 out.append(t)
                 break
         else:
-            raise InvalidArgumentsError(
-                f"block size {s} exceeds largest tile {tiles[-1]}")
+            if extend:
+                out.append(-(-s // 512) * 512)
+            else:
+                raise InvalidArgumentsError(
+                    f"block size {s} exceeds largest tile {tiles[-1]}")
     return out
 
 
@@ -226,8 +233,10 @@ class PartitionPlan:
                 (mt, kt)
                 for (b, _), mt, kt in zip(
                     dense_blks,
-                    _size_classes([b.nr for b, _ in dense_blks], dense_tiles),
-                    _size_classes([b.nc for b, _ in dense_blks], dense_tiles),
+                    _size_classes([b.nr for b, _ in dense_blks],
+                                  dense_tiles, extend=True),
+                    _size_classes([b.nc for b, _ in dense_blks],
+                                  dense_tiles, extend=True),
                 )
             ]
             for cls in sorted(set(keys)):
@@ -272,8 +281,16 @@ class PartitionPlan:
 
             sizes = [max(b.nr, b.nc) for b in bf_blks]
             keys = _size_classes(sizes, bf_tiles)
+            class_groups = []
             for cls in sorted(set(keys)):
-                members = [b for b, k in zip(bf_blks, keys) if k == cls]
+                cls_members = [b for b, k in zip(bf_blks, keys) if k == cls]
+                # chunk a class so its (B, npad, npad) batch and the device
+                # distillation's intermediates stay ~1 GB (a 65k-point run
+                # RESOURCE_EXHAUSTED with one multi-thousand-member batch)
+                gmax = max(1, (1 << 30) // (cls * cls * 4))
+                for g0 in range(0, len(cls_members), gmax):
+                    class_groups.append((cls, cls_members[g0:g0 + gmax]))
+            for cls, members in class_groups:
                 B = len(members)
                 npad = cls
                 NB_sub = max(2, npad // 128)

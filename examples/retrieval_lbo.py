@@ -57,7 +57,9 @@ def main() -> None:
     ap.add_argument("--subdiv", type=int, default=7)
     ap.add_argument("--num-eigs", type=int, default=1024)
     ap.add_argument("--queries", type=int, default=256)
-    ap.add_argument("--rank-one-level", type=int, default=48)
+    ap.add_argument("--rank-one-level", type=int, default=64)
+    ap.add_argument("--formats", default="one_level,deep,fused",
+                    help="comma list: one_level,deep,fused")
     ap.add_argument("--rank-fused", type=int, default=None)
     ap.add_argument("--exact-topk", action="store_true",
                     help="exact lax.top_k instead of TPU approx_max_k")
@@ -83,6 +85,7 @@ def main() -> None:
         compress_table,
         compress_table_deep,
         recall_at_k,
+        recall_with_tolerance,
     )
     from butterfly_tpu.ops.pallas_butterfly import FusedButterflyPlan
     from butterfly_tpu.trees import Octree
@@ -177,109 +180,132 @@ def main() -> None:
         log(f"{label}: {t*1e3:.2f} ms/batch ({qps:,.0f} q/s)")
         return qps
 
-    # ---- one-level baseline ------------------------------------------
-    t0 = time.time()
-    ct = compress_table(Phi, rank=args.rank_one_level, block_rows=128,
-                        svd_dtype=np.float32)
-    log(f"one-level setup {time.time()-t0:.1f} s")
+    formats = set(args.formats.split(","))
+    if "fused" in formats:
+        formats.add("deep")  # the fused format distills the deep fac
 
-    def step_ct(ct_, Qc):
-        vals, _ = ct_.topk(Qc, 100, approx=use_approx)
-        return Qc * (1.0 + 1e-30 * jnp.sum(vals))
+    if "one_level" in formats:
+        # ---- one-level baseline ------------------------------------------
+        t0 = time.time()
+        ct = compress_table(Phi, rank=args.rank_one_level, block_rows=128,
+                            svd_dtype=np.float32)
+        log(f"one-level setup {time.time()-t0:.1f} s")
 
-    qps_ct = timed_qps(step_ct, ct, "one_level")
-    _, idx_ct = jax.jit(lambda c, Q0: c.topk(Q0, 100))(ct, Qd)
-    rec_ct = recall_at_k(np.asarray(idx_ct), true100)
-    mb_ct = ct.nbytes() / 1e6
-    results.append({
-        "format": "one_level", "n": n, "d": d,
-        "rank": args.rank_one_level, "mb": round(mb_ct, 1),
-        "dense_mb": round(dense_mb, 1),
-        "compression_ratio": round(mb_ct / dense_mb, 3),
-        "queries_per_s": int(qps_ct),
-        "recall_at_100_strict": round(rec_ct, 4), "device": dev,
-    })
-    log(json.dumps(results[-1]))
+        def step_ct(ct_, Qc):
+            vals, _ = ct_.topk(Qc, 100, approx=use_approx)
+            return Qc * (1.0 + 1e-30 * jnp.sum(vals))
 
-    # ---- deep (streamer -> packed StagePlan) --------------------------
-    t0 = time.time()
-    dt = compress_table_deep(Phi, tol=args.deep_tol, col_depth=3,
-                             row_leaf=128)
-    log(f"deep setup {time.time()-t0:.1f} s; "
-        f"logical {dt.nbytes_logical()/1e6:.1f} MB, "
-        f"device {dt.nbytes()/1e6:.1f} MB, "
-        f"buckets {dt.plan.stats.num_gemm_buckets}")
-    fn_dt = dt.plan._apply_jit
+        qps_ct = timed_qps(step_ct, ct, "one_level")
+        _, idx_ct = jax.jit(lambda c, Q0: c.topk(Q0, 100))(ct, Qd)
+        rec_ct = recall_at_k(np.asarray(idx_ct), true100)
+        tol_ct = recall_with_tolerance(np.asarray(idx_ct), exact_scores, 100)
+        mb_ct = ct.nbytes() / 1e6
+        results.append({
+            "format": "one_level", "n": n, "d": d,
+            "rank": args.rank_one_level, "mb": round(mb_ct, 1),
+            "dense_mb": round(dense_mb, 1),
+            "compression_ratio": round(mb_ct / dense_mb, 3),
+            "queries_per_s": int(qps_ct),
+            "recall_at_100_strict": round(rec_ct, 4),
+            "recall_at_100_tol1e-3": round(tol_ct, 4), "device": dev,
+        })
+        log(json.dumps(results[-1]))
 
-    def step_dt(params, Qc):
-        scores = fn_dt(params, Qc.T)            # (n, q)
-        vals, _ = top100(scores.T)
-        return Qc * (1.0 + 1e-30 * jnp.sum(vals))
+    if "deep" in formats:
+        # ---- deep (streamer -> packed StagePlan) --------------------------
+        t0 = time.time()
+        dt = compress_table_deep(Phi, tol=args.deep_tol, col_depth=3,
+                                 row_leaf=128)
+        log(f"deep setup {time.time()-t0:.1f} s; "
+            f"logical {dt.nbytes_logical()/1e6:.1f} MB, "
+            f"device {dt.nbytes()/1e6:.1f} MB, "
+            f"buckets {dt.plan.stats.num_gemm_buckets}")
+        fn_dt = dt.plan._apply_jit
 
-    qps_dt = timed_qps(step_dt, dt.plan._params, "deep_packed")
-    _, idx_dt = jax.jit(
-        lambda p, Q0: jax.lax.top_k(fn_dt(p, Q0.T).T, 100)
-    )(dt.plan._params, Qd)
-    rec_dt = recall_at_k(np.asarray(idx_dt), true100)
-    mb_dt = dt.nbytes_logical() / 1e6
-    results.append({
-        "format": "deep_butterfly", "n": n, "d": d,
-        "tol": args.deep_tol, "mb_logical": round(mb_dt, 1),
-        "mb_device": round(dt.nbytes() / 1e6, 1),
-        "dense_mb": round(dense_mb, 1),
-        "compression_ratio": round(mb_dt / dense_mb, 3),
-        "vs_one_level_storage": round(mb_dt / mb_ct, 3),
-        "queries_per_s": int(qps_dt),
-        "recall_at_100_strict": round(rec_dt, 4), "device": dev,
-    })
-    log(json.dumps(results[-1]))
+        def step_dt(params, Qc):
+            scores = fn_dt(params, Qc.T)            # (n, q)
+            vals, _ = top100(scores.T)
+            return Qc * (1.0 + 1e-30 * jnp.sum(vals))
 
-    # ---- deep fused (distill -> Pallas) -------------------------------
-    t0 = time.time()
-    # largest power of two <= n_pad/1024 that divides both dims (n_pad is
-    # only guaranteed divisible by powers of two up to NBpad)
-    NBf = 1 << max(4, int(np.log2(max(16, n_pad // 1024))))
-    while NBf > 2 and (n_pad % NBf or d % NBf or d // NBf < 2):
-        NBf //= 2
-    rank_fused = args.rank_fused or min(d // NBf + 64, d)
-    dist = distill_butterfly(dt.fac.as_linop(), NBf, rank=rank_fused,
-                             dtype=np.float32)
-    plan = FusedButterflyPlan(dist.bf, fuse=8, r_tile=256,
-                              interpret=args.interpret)
-    log(f"fused setup {time.time()-t0:.1f} s; NB={NBf} rank={dist.rank} "
-        f"{dist.nbytes()/1e6:.1f} MB")
-    from butterfly_tpu.ops.pallas_butterfly import _apply_fused
-    import functools
+        qps_dt = timed_qps(step_dt, dt.plan._params, "deep_packed")
+        _, idx_dt = jax.jit(
+            lambda p, Q0: jax.lax.top_k(fn_dt(p, Q0.T).T, 100)
+        )(dt.plan._params, Qd)
+        rec_dt = recall_at_k(np.asarray(idx_dt), true100)
+        tol_dt = recall_with_tolerance(np.asarray(idx_dt), exact_scores, 100)
+        mb_dt = dt.nbytes_logical() / 1e6
+        results.append({
+            "format": "deep_butterfly", "n": n, "d": d,
+            "tol": args.deep_tol, "mb_logical": round(mb_dt, 1),
+            "mb_device": round(dt.nbytes() / 1e6, 1),
+            "dense_mb": round(dense_mb, 1),
+            "compression_ratio": round(mb_dt / dense_mb, 3),
+            "vs_one_level_storage": round(mb_dt / mb_ct, 3),
+            "queries_per_s": int(qps_dt),
+            "recall_at_100_strict": round(rec_dt, 4),
+            "recall_at_100_tol1e-3": round(tol_dt, 4), "device": dev,
+        })
+        log(json.dumps(results[-1]))
 
-    fn_fp = functools.partial(_apply_fused, plan._meta)
+    if "fused" in formats:
+        # ---- deep fused (distill -> Pallas) -------------------------------
+        t0 = time.time()
+        # largest power of two <= n_pad/1024 that divides both dims (n_pad is
+        # only guaranteed divisible by powers of two up to NBpad)
+        NBf = 1 << max(4, int(np.log2(max(16, n_pad // 1024))))
+        while NBf > 2 and (n_pad % NBf or d % NBf or d // NBf < 2):
+            NBf //= 2
+        rank_fused = args.rank_fused or min(d // NBf + 64, d)
+        dist = distill_butterfly(dt.fac.as_linop(), NBf, rank=rank_fused,
+                                 dtype=np.float32)
+        plan = FusedButterflyPlan(dist.bf, fuse=8, r_tile=256,
+                                  interpret=args.interpret)
+        log(f"fused setup {time.time()-t0:.1f} s; NB={NBf} rank={dist.rank} "
+            f"{dist.nbytes()/1e6:.1f} MB")
+        from butterfly_tpu.ops.pallas_butterfly import _apply_fused
+        import functools
 
-    def step_fp(params, Qc):
-        scores = fn_fp(params, Qc.T)            # (n, q) butterfly order
-        vals, _ = top100(scores.T)
-        return Qc * (1.0 + 1e-30 * jnp.sum(vals))
+        fn_fp = functools.partial(_apply_fused, plan._meta)
 
-    qps_fp = timed_qps(step_fp, plan._params, "deep_fused")
-    # strict recall: EXACT top_k on device (fetching the full score matrix
-    # would be a ~170 MB device->host pull at ~20 MB/s on this box)
-    _, idx_bf = jax.jit(
-        lambda p, Q0: jax.lax.top_k(fn_fp(p, Q0.T).T, 100)
-    )(plan._params, Qd)
-    idx_fp = dist.row_perm[np.asarray(idx_bf)]     # butterfly -> table rows
-    rec_fp = recall_at_k(idx_fp, true100)
-    mb_fp = dist.nbytes() / 1e6
-    results.append({
-        "format": "deep_fused", "n": n, "d": d,
-        "rank": dist.rank, "mb": round(mb_fp, 1),
-        "dense_mb": round(dense_mb, 1),
-        "compression_ratio": round(mb_fp / dense_mb, 3),
-        "queries_per_s": int(qps_fp),
-        "recall_at_100_strict": round(rec_fp, 4), "device": dev,
-    })
-    log(json.dumps(results[-1]))
+        def step_fp(params, Qc):
+            scores = fn_fp(params, Qc.T)            # (n, q) butterfly order
+            vals, _ = top100(scores.T)
+            return Qc * (1.0 + 1e-30 * jnp.sum(vals))
+
+        qps_fp = timed_qps(step_fp, plan._params, "deep_fused")
+        # strict recall: EXACT top_k on device (fetching the full score matrix
+        # would be a ~170 MB device->host pull at ~20 MB/s on this box)
+        _, idx_bf = jax.jit(
+            lambda p, Q0: jax.lax.top_k(fn_fp(p, Q0.T).T, 100)
+        )(plan._params, Qd)
+        idx_fp = dist.row_perm[np.asarray(idx_bf)]     # butterfly -> table rows
+        rec_fp = recall_at_k(idx_fp, true100)
+        tol_fp = recall_with_tolerance(idx_fp, exact_scores, 100)
+        mb_fp = dist.nbytes() / 1e6
+        results.append({
+            "format": "deep_fused", "n": n, "d": d,
+            "rank": dist.rank, "mb": round(mb_fp, 1),
+            "dense_mb": round(dense_mb, 1),
+            "compression_ratio": round(mb_fp / dense_mb, 3),
+            "queries_per_s": int(qps_fp),
+            "recall_at_100_strict": round(rec_fp, 4),
+            "recall_at_100_tol1e-3": round(tol_fp, 4), "device": dev,
+        })
+        log(json.dumps(results[-1]))
 
     if args.out:
+        out_rows = results
+        if os.path.exists(args.out):  # merge: replace rows we re-ran
+            try:
+                with open(args.out) as f:
+                    old = json.load(f)
+                new_fmts = {r["format"] for r in results}
+                out_rows = [r for r in old
+                            if r.get("format") not in new_fmts] + results
+            except ValueError:
+                pass
         with open(args.out, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(out_rows, f, indent=1)
         log(f"wrote {args.out}")
     print(json.dumps(results))
 
@@ -370,6 +396,18 @@ def run_config1m(args, jax, jnp, compress_table, recall_at_k) -> None:
 
     _, idx = jax.jit(lambda c, Q0: c.topk(Q0, 100))(ct, Qd)
     rec = recall_at_k(np.asarray(idx), true100)
+
+    @jax.jit
+    def tol_recall_dev(P, Q0, pred):
+        s = Q0 @ P.T                                   # (q, n) exact scores
+        vals, _ = jax.lax.top_k(s, 100)
+        cutoff = vals[:, -1]
+        eps = 1e-3 * (jnp.max(s, axis=1) - jnp.min(s, axis=1))
+        sp = jnp.take_along_axis(s, pred, axis=1)      # (q, 100)
+        ok = sp >= (cutoff - eps)[:, None]
+        return jnp.mean(ok.astype(jnp.float32))
+
+    rec_tol = float(tol_recall_dev(Phi_dev, Qd, idx))
     row = {
         "format": "one_level_1m", "n": n, "d": d, "rank": rank,
         "block_rows": br, "mb": round(mb, 1), "dense_mb": round(dense_mb, 1),
@@ -378,16 +416,18 @@ def run_config1m(args, jax, jnp, compress_table, recall_at_k) -> None:
         "lookup_rel_err": float(f"{lookup_rel:.2e}"),
         "queries_per_s": int(qps),
         "recall_at_100_strict": round(rec, 4),
+        "recall_at_100_tol1e-3": round(rec_tol, 4),
         "device": str(jax.devices()[0]),
     }
     log(json.dumps(row))
     out = [row]
     if args.out:
-        mode = "r+" if os.path.exists(args.out) else None
-        if mode:  # append to an existing artifact
+        if os.path.exists(args.out):  # merge: replace same-format rows
             with open(args.out) as f:
                 try:
-                    out = json.load(f) + out
+                    old = json.load(f)
+                    out = [r for r in old
+                           if r.get("format") != row["format"]] + out
                 except ValueError:
                     pass
         with open(args.out, "w") as f:

@@ -42,10 +42,19 @@ def test_partition_matches_complex_oracle(helm_fac):
     assert np.allclose(got, got2)
 
 
-def test_partition_rejects_oversize_tiles(helm_fac):
-    _, A = helm_fac
-    with pytest.raises(InvalidArgumentsError):
-        partition_apply_plan(A, dense_tiles=(8,), bf_tiles=(8,))
+def test_partition_handles_undersized_tile_lists(helm_fac):
+    """Tiny tile lists no longer raise: dense classes auto-extend (a
+    batched GEMM works at any size) and oversized butterfly blocks take
+    the per-block stage-plan path — the plan must still match the fac."""
+    nE, A = helm_fac
+    pp = partition_apply_plan(A, dense_tiles=(8,), bf_tiles=(8,),
+                              dense_materialize_limit_bytes=0)
+    rng = np.random.default_rng(5)
+    zs = rng.standard_normal((nE, 2)) + 1j * rng.standard_normal((nE, 2))
+    got = pp.apply_complex(zs)
+    want = A.matmat(zs)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-5, f"tiny-tile partition apply rel {rel:.2e}"
 
 
 def test_partition_blockwise_extraction_matches(helm_fac):
