@@ -122,7 +122,10 @@ def _size_classes(sizes, tiles, extend: bool = False):
                 break
         else:
             if extend:
-                out.append(-(-s // 512) * 512)
+                # 128-grain: big near-field fallback blocks dominate device
+                # bytes (7.2 GB logged at 65k with 512-grain padding); finer
+                # tiles halve the padding at the cost of a few more classes
+                out.append(-(-s // 128) * 128)
             else:
                 raise InvalidArgumentsError(
                     f"block size {s} exceeds largest tile {tiles[-1]}")
@@ -220,6 +223,13 @@ class PartitionPlan:
         log_info("partition: %d dense blocks, %d butterfly blocks",
                  len(dense_blks), len(bf_blks))
 
+        def _hbm_mb():
+            try:
+                st = jax.local_devices()[0].memory_stats()
+                return st.get("bytes_in_use", 0) / 1e6
+            except Exception:
+                return -1.0
+
         params = {"dense": [], "bf": []}
         self._bf_meta = []
         self._bf_fns = []  # static fused-kernel apply fns, one per class
@@ -258,6 +268,8 @@ class PartitionPlan:
                 self._flops += 2 * B * mt * kt
                 self._nbytes += W.nbytes
                 log_info("partition: dense class %s x%d", cls, B)
+            log_info("partition: dense classes resident, HBM %.0f MB",
+                     _hbm_mb())
 
         # ---- butterfly classes (sliced from the device materialization) --
         if bf_blks:
@@ -359,8 +371,8 @@ class PartitionPlan:
                 self._flops += dist.bf.flops_per_col()
                 self._nbytes += dist.bf.nbytes()
                 log_info("partition: bf class %d x%d NB=%d rank=%d "
-                         "dropped=%.2e", cls, B, NB_sub, rk,
-                         dist.max_sv_discarded)
+                         "dropped=%.2e (HBM %.0f MB)", cls, B, NB_sub, rk,
+                         dist.max_sv_discarded, _hbm_mb())
             del M
 
         # ---- oversized butterfly blocks: one packed stage plan each ------
