@@ -66,14 +66,17 @@ def _materialize_chain(chain) -> np.ndarray:
     no basis columns are pushed through the whole operator."""
     cur = None
     for f in chain.factors:
-        check(not f.scales,
-              "chain materialization expects pure-GEMM factors")
-        dt = np.result_type(*(u.data.dtype for u in f.gemms))
+        dts = [u.data.dtype for u in f.gemms] + [
+            u.weights.dtype for u in f.scales]
+        dt = np.result_type(*dts) if dts else np.float64
         out = np.zeros((f.out_dim, f.in_dim), dt)
         for u in f.gemms:
             d = np.asarray(u.data)
             out[u.out_off:u.out_off + d.shape[0],
                 u.in_off:u.in_off + d.shape[1]] += d
+        for u in f.scales:
+            # ScaleUnits (Identity/Diag/Perm) are scatter-scaled entries
+            out[u.out_idx, u.in_idx] += u.weights
         cur = out if cur is None else out @ cur
     return cur
 
@@ -110,7 +113,7 @@ class _Blk:
 
 def _size_classes(sizes, tiles, extend: bool = False):
     """Map each size to the smallest tile >= size. With extend=True, sizes
-    beyond the last tile get a synthesized tile (next multiple of 512) —
+    beyond the last tile get a synthesized tile (next multiple of 128) —
     used for dense classes, where a batched GEMM works at any size; the
     butterfly tile list stays closed (oversized blocks take the per-block
     stage-plan path instead)."""
@@ -178,10 +181,11 @@ class PartitionPlan:
                      else np.asarray(Z, np.float32))
                 dense_blks.append((blk, W))
             else:
-                check(not any(f.scales for f in c.factors),
-                      "partition plan expects pure-GEMM chains")
+                # unit rank proxy: min dim for GEMMs, entry count for scale
+                # units (a ScaleUnit is a scaled sub-permutation, rank = L)
                 blk.rmax = max(
-                    min(u.data.shape) for f in c.factors for u in f.gemms
+                    [min(u.data.shape) for f in c.factors for u in f.gemms]
+                    + [u.weights.size for f in c.factors for u in f.scales]
                 )
                 blk.chain = c
                 bf_blks.append(blk)

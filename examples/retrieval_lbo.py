@@ -234,17 +234,21 @@ def main() -> None:
         rec_dt = recall_at_k(np.asarray(idx_dt), true100)
         tol_dt = recall_with_tolerance(np.asarray(idx_dt), exact_scores, 100)
         mb_dt = dt.nbytes_logical() / 1e6
-        results.append({
+        row_dt = {
             "format": "deep_butterfly", "n": n, "d": d,
             "tol": args.deep_tol, "mb_logical": round(mb_dt, 1),
             "mb_device": round(dt.nbytes() / 1e6, 1),
             "dense_mb": round(dense_mb, 1),
             "compression_ratio": round(mb_dt / dense_mb, 3),
-            "vs_one_level_storage": round(mb_dt / mb_ct, 3),
             "queries_per_s": int(qps_dt),
             "recall_at_100_strict": round(rec_dt, 4),
             "recall_at_100_tol1e-3": round(tol_dt, 4), "device": dev,
-        })
+        }
+        # mb_ct only exists when the one_level format ran this invocation
+        # (single-format re-runs skip it — ADVICE r4)
+        if "one_level" in formats:
+            row_dt["vs_one_level_storage"] = round(mb_dt / mb_ct, 3)
+        results.append(row_dt)
         log(json.dumps(results[-1]))
 
     if "fused" in formats:
