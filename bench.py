@@ -303,15 +303,25 @@ def main() -> None:
 
     def slope(rep, k1, k2, reps=3):
         """rep(K)->seconds runs K chained iterations; slope of the MIN
-        times cancels dispatch/fetch latency AND tunnel contention spikes
-        (median showed 25% run-to-run drift in the dense-peak
-        denominator)."""
+        times cancels dispatch/fetch latency AND tunnel contention spikes.
+        r4 post-mortem: with short chains (device delta ~16 ms vs ~25 ms
+        tunnel RTT) a few ms of RTT asymmetry between the k1 and k2 fetches
+        produced 25% denominator drift (252 vs 203 TFLOP/s for the same
+        chip) — callers must size k2-k1 so the device-time delta is
+        >~100 ms, and the per-pair median below rejects one-sided
+        outliers."""
         rep(k1), rep(k2)  # warm (compiles happened in chain_timer)
         t1s, t2s = [], []
         for _ in range(reps):
             t1s.append(rep(k1))
             t2s.append(rep(k2))
-        return (min(t2s) - min(t1s)) / (k2 - k1)
+        s_min = (min(t2s) - min(t1s)) / (k2 - k1)
+        pair = sorted((t2 - t1) / (k2 - k1)
+                      for t1, t2 in zip(t1s, t2s))
+        s_med = pair[len(pair) // 2]
+        # min-of-mins is the best estimate when contention only ADDS time;
+        # the paired median guards against an unluckily-fast k2 fetch.
+        return max(s_min, 0.8 * s_med) if s_med > 0 else s_min
 
     _summ = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
 
@@ -422,7 +432,30 @@ def main() -> None:
     run_section("C", sec_C, 30, 120)
 
     # ============ R. chip rooflines =====================================
+    def _adopt_peak(key, extra_key, measured, unit="TFLOP/s"):
+        """VERDICT r4 item 3: PREFER the pinned denominator for SoL
+        stability; adopt the fresh measurement only when it drifts >15%
+        from the pin (hardware/toolchain change) or no pin exists. Both
+        values always land in the artifact."""
+        extra[extra_key + "_measured"] = round(measured, 1)
+        pinned = state[key] if state["peak_source"] in (
+            "constants", "mixed") else 0.0
+        if pinned > 0 and abs(measured - pinned) / pinned <= 0.15:
+            extra[extra_key] = round(pinned, 1)
+            log(f"R. {extra_key}: pinned {pinned:.1f} kept "
+                f"(measured {measured:.1f} {unit}, within 15%)")
+            return False
+        state[key] = measured
+        extra[extra_key] = round(measured, 1)
+        log(f"R. {extra_key}: adopted measured {measured:.1f} {unit}"
+            + (f" (pin {pinned:.1f} drifted >15%)" if pinned else ""))
+        return True
+
     def sec_R():
+        # chains sized so the device-time delta is >~100 ms — short chains
+        # (16 ms delta vs 25 ms tunnel RTT) caused the r4 25% denominator
+        # drift (and the physically impossible 252 TFLOP/s bf16 "peak" on
+        # a chip whose nominal bf16 peak is ~197)
         M = 4096
         a16 = randn((M, M), jnp.bfloat16)
         b16 = randn((M, M), jnp.bfloat16)
@@ -431,37 +464,35 @@ def main() -> None:
             return jax.lax.dot(a, c, preferred_element_type=jnp.float32
                                ).astype(jnp.bfloat16)
 
-        t = slope(chain_timer(mm_step_bf16, a16, b16), 4, 28)
-        peak_bf16 = 2 * M**3 / t / 1e12
-        state["peak_bf16"] = peak_bf16
-        extra["peak_bf16_tflops"] = round(peak_bf16, 1)
-        log(f"R. dense peak bf16: {peak_bf16:.1f} TFLOP/s")
+        t = slope(chain_timer(mm_step_bf16, a16, b16), 30, 230, reps=5)
+        adopted = _adopt_peak("peak_bf16", "peak_bf16_tflops",
+                              2 * M**3 / t / 1e12)
 
         def mm_step_f32hp(a, c):
             return jax.lax.dot(a, c, precision=jax.lax.Precision.HIGHEST)
 
         a32 = randn((M, M), jnp.float32)
         b32 = randn((M, M), jnp.float32)
-        t = slope(chain_timer(mm_step_f32hp, a32, b32), 2, 12)
-        peak_f32hp = 2 * M**3 / t / 1e12
-        state["peak_f32hp"] = peak_f32hp
-        extra["peak_f32_hp_tflops"] = round(peak_f32hp, 1)
-        log(f"R. dense peak f32-highest: {peak_f32hp:.1f} TFLOP/s")
+        t = slope(chain_timer(mm_step_f32hp, a32, b32), 6, 42, reps=5)
+        adopted |= _adopt_peak("peak_f32hp", "peak_f32_hp_tflops",
+                               2 * M**3 / t / 1e12)
 
         big = randn((1 << 26,), jnp.float32)
 
         def bw_step(_, c):
             return c * 1.0000001 + 1.0
 
-        t = slope(chain_timer(bw_step, jnp.zeros(()), big), 8, 56)
-        bw = 2 * big.nbytes / t
-        state["hbm_gbps"] = bw / 1e9
-        extra["hbm_gbps"] = round(bw / 1e9)
-        log(f"R. HBM bandwidth: {bw / 1e9:.0f} GB/s")
-        state["peak_source"] = "measured"
-        save_constants()
+        t = slope(chain_timer(bw_step, jnp.zeros(()), big), 30, 230, reps=5)
+        adopted |= _adopt_peak("hbm_gbps", "hbm_gbps",
+                               2 * big.nbytes / t / 1e9, unit="GB/s")
+        extra["hbm_gbps"] = round(extra["hbm_gbps"])
+        if adopted:
+            state["peak_source"] = (
+                "mixed" if state["peak_source"] == "constants"
+                else "measured")
+            save_constants()
 
-    run_section("R", sec_R, 40, 150)
+    run_section("R", sec_R, 60, 200)
 
     # ============ A. f32-HIGHEST deep chain =============================
     def sec_A():

@@ -5,27 +5,36 @@ The reference's multilevel Helmholtz factorization is a recursive partition
 target and source overlap, single butterflies where they are separated.
 Its apply walks that recursive graph one tiny zgemv at a time
 (src/mat_block_dense.c:574-630) — and a direct port of that walk to the TPU
-is gather/scatter-bound (measured: 0.03 of the op's speed of light through
-the generic bucketed StagePlan).
+is gather/scatter-bound (measured r4: 14 ms of an 18 ms apply at n=4096 was
+pure index traffic; the operator's own MXU work was ~4 ms).
 
-A SELF-interaction operator cannot be distilled into one uniform butterfly
-(near-diagonal blocks are not complementary-low-rank — exactly why the
-reference partitions), so this module compiles the partition itself into a
-fixed, shallow device program:
+TPU-first redesign (round 5). The partition compiles into TWO chained
+block-sparse cell-kernel passes (ops/cellsp.py) — output resident in VMEM,
+x tiles read in place, y written exactly once; there is no gather, no
+scatter, and no per-class kernel zoo:
 
-  1. flatten the operator into positioned chains (ops/packed.py _flatten);
-  2. dense (near-field) chains: pad into 2-3 canonical tile classes and
-     upload as one batched (B, m, k) GEMM per class — the weights are the
-     chains' own host arrays, interleaved-real-embedded if complex;
-  3. butterfly (product) chains: pad into canonical square classes, slice
-     each block from a dense DEVICE materialization of the operator
-     (fac/uniformize.py materialize_on_device — no host round trip),
-     zero-mask the padding, and batch-distill every class into ONE
-     UniformButterfly (fac/distill.py distill_butterfly_device with a
-     batch: independent blocks concatenate along the `hi` axis);
-  4. apply = per class: one row gather of x, one batched GEMM or one
-     einsum butterfly apply, one scatter-add into y (+1 dump row for
-     padding). Everything else is static-shape MXU work inside one jit.
+  pass 1  t = V-cells(x)      compress: every separated block's rank-rho
+                              row space, one (128,128) MXU tile per cell
+  pass 2  y = U-cells(t) + dense-cells(x)
+                              expand + near-field + assembly, multi-buffer
+
+Separated (admissible) blocks are factored as LOW-RANK Z ~= U V, not as
+per-block butterflies: admissibility bounds their rank (that is exactly why
+the reference's partition distinguishes them, src/fac_helm2.c:860-941), and
+a flat rank-rho GEMM pair is both fewer flops than a depth-L butterfly at
+these tile sizes (rho tracks the butterfly's own level rank) and exact to
+f32. The factorization runs ON DEVICE: randomized sketch Y = Z Omega, QR,
+then V solved by LEAST SQUARES  V = (Q^T Q)^{-1} Q^T Z  — the LS solve
+makes the reconstruction a true oblique projection of Z, so the f32 QR's
+orthogonality error (~1e-5 on this TPU; it floored the previous
+device-distilled plan at 3.4e-6 rel err) cancels instead of accumulating,
+and the achieved per-block residual (measured by random probe, adaptively
+rank-escalated) lands at the f32 floor ~1e-7. Setup is upload + a few
+batched GEMMs per size class — seconds, where the r4 host/distill hybrid
+took minutes and did not scale past 16k points.
+
+Blocks too large to batch (top partition levels, ~N/4 wide) keep their
+native butterfly chain and apply through their own packed stage plans.
 
 Complex operators ride the interleaved 2x2 real embedding throughout
 (row/col 2i = Re_i, 2i+1 = Im_i), so a complex chain block at complex
@@ -35,12 +44,13 @@ offset (i0, j0) occupies real rows [2*i0, 2*i0+2nr) — contiguity survives.
 from __future__ import annotations
 
 import dataclasses
-import functools
-
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 from butterfly_tpu.ops import packed as packed_mod
+from butterfly_tpu.ops.cellsp import GK, GM, Cell, CellPlan, \
+    cells_from_dense_block
 from butterfly_tpu.ops.linop import LinOp
 from butterfly_tpu.utils.errors import InvalidArgumentsError, check
 from butterfly_tpu.utils.logging import log_info
@@ -48,10 +58,10 @@ from butterfly_tpu.utils.logging import log_info
 __all__ = ["PartitionPlan", "partition_apply_plan"]
 
 
-def _interleave_embed(Z: np.ndarray) -> np.ndarray:
+def _interleave_embed(Z: np.ndarray, dtype=np.float32) -> np.ndarray:
     """(2m, 2k) interleaved real embedding of a complex (m, k) block."""
     m, k = Z.shape
-    R = np.empty((2 * m, 2 * k), np.float32)
+    R = np.empty((2 * m, 2 * k), dtype)
     R[0::2, 0::2] = Z.real
     R[0::2, 1::2] = -Z.imag
     R[1::2, 0::2] = Z.imag
@@ -81,26 +91,6 @@ def _materialize_chain(chain) -> np.ndarray:
     return cur
 
 
-def _extract_block_batches(members, npad: int, complex_: bool):
-    """(B, npad, npad) interleaved-real block batch for one butterfly
-    class, WITHOUT materializing the full dense operator: each member's
-    chain is multiplied out on the host at its own (small) cost and
-    embedded/padded in place. This is what lets the partition plan scale
-    past ~16k points — a full device materialization is O(N^2) HBM (68 GB
-    at n=65536 complex), while the block batches are O(sum of block areas).
-    Upload is cheap on this box (~500 MB/s); it is device->host fetches
-    that are slow, and this path performs none."""
-    import jax
-    import jax.numpy as jnp
-
-    W = np.zeros((len(members), npad, npad), np.float32)
-    for bi, b in enumerate(members):
-        Z = _materialize_chain(b.chain)
-        Zr = _interleave_embed(Z) if complex_ else np.asarray(Z, np.float32)
-        W[bi, :Zr.shape[0], :Zr.shape[1]] = Zr
-    return jax.block_until_ready(jnp.asarray(W))
-
-
 @dataclasses.dataclass
 class _Blk:
     i0: int      # real row offset
@@ -110,13 +100,25 @@ class _Blk:
     rmax: int = 0  # max unit rank of the source chain (pre-embedding)
     chain: object = None  # the positioned factor chain (for materialization)
 
+    # the member window is placed so its row start is 8-aligned (sublane)
+    # and its col start is 128-aligned (cell grid); the residual shifts are
+    # embedded as leading zero rows/cols of the member matrix
+    @property
+    def shift_r(self) -> int:
+        return self.i0 % 8
 
-def _size_classes(sizes, tiles, extend: bool = False):
-    """Map each size to the smallest tile >= size. With extend=True, sizes
-    beyond the last tile get a synthesized tile (next multiple of 128) —
-    used for dense classes, where a batched GEMM works at any size; the
-    butterfly tile list stays closed (oversized blocks take the per-block
-    stage-plan path instead)."""
+    @property
+    def shift_c(self) -> int:
+        return self.j0 % GK
+
+    @property
+    def span(self) -> int:
+        return max(self.nr + self.shift_r, self.nc + self.shift_c)
+
+
+def _size_classes(sizes, tiles):
+    """Map each size to the smallest tile >= size (closed list: oversized
+    blocks take the per-block stage-plan path instead)."""
     out = []
     for s in sizes:
         for t in tiles:
@@ -124,14 +126,8 @@ def _size_classes(sizes, tiles, extend: bool = False):
                 out.append(t)
                 break
         else:
-            if extend:
-                # 128-grain: big near-field fallback blocks dominate device
-                # bytes (7.2 GB logged at 65k with 512-grain padding); finer
-                # tiles halve the padding at the cost of a few more classes
-                out.append(-(-s // 128) * 128)
-            else:
-                raise InvalidArgumentsError(
-                    f"block size {s} exceeds largest tile {tiles[-1]}")
+            raise InvalidArgumentsError(
+                f"block size {s} exceeds largest tile {tiles[-1]}")
     return out
 
 
@@ -139,22 +135,17 @@ class PartitionPlan:
     """Executable partition apply. `params` is a pytree (pass it to the
     jitted `apply_with`); `apply(x)` is the convenience wrapper."""
 
-    def __init__(self, op: LinOp, rank=None, rank_margin: int = 12,
-                 dense_tiles=(64, 96, 128, 192, 256, 384, 512, 768, 1024,
-                              1536, 2048, 3072, 4096),
-                 bf_tiles=(256, 512, 1024),
-                 materialize_chunk: int = 256,
-                 dense_materialize_limit_bytes: int = 2 << 30):
+    def __init__(self, op: LinOp, rank=None, rank_margin: int = 32,
+                 bf_tiles=(256, 512, 1024, 2048, 4096),
+                 lr_tol: float = 3e-7,
+                 batch_budget_bytes: int = 1 << 30,
+                 workers: int = 2,
+                 dense_materialize_limit_bytes: int = 6 << 30,
+                 # accepted for backward compatibility with r4 callers
+                 distill_tol=None, dense_tiles=None,
+                 materialize_chunk=None):
         import jax
         import jax.numpy as jnp
-
-        from butterfly_tpu.fac.distill import (
-            _row_perm_for,
-            distill_butterfly_device,
-            stacked_to_interleaved,
-        )
-        from butterfly_tpu.fac.uniformize import materialize_on_device
-        from butterfly_tpu.ops.packed import pack
 
         self._complex = bool(np.issubdtype(op.dtype, np.complexfloating))
         mul = 2 if self._complex else 1
@@ -165,15 +156,12 @@ class PartitionPlan:
         chains: list = []
         packed_mod._flatten(op, 0, 0, chains)
         dense_blks: list[tuple[_Blk, np.ndarray]] = []
-        bf_blks: list[_Blk] = []
+        lr_blks: list[_Blk] = []
         for c in chains:
             nr_c = c.factors[-1].out_dim
             nc_c = c.factors[0].in_dim
             blk = _Blk(mul * c.i0, mul * c.j0, mul * nr_c, mul * nc_c)
             f0 = c.factors[0]
-            # the offset guard keeps a single-GEMM unit sitting at a nonzero
-            # offset (a block operator with one dense sub-block) out of the
-            # dense fast path, where its placement would be dropped
             if (len(c.factors) == 1 and len(f0.gemms) == 1 and not f0.scales
                     and f0.gemms[0].in_off == 0 and f0.gemms[0].out_off == 0):
                 Z = f0.gemms[0].data
@@ -185,204 +173,250 @@ class PartitionPlan:
                 # units (a ScaleUnit is a scaled sub-permutation, rank = L)
                 blk.rmax = max(
                     [min(u.data.shape) for f in c.factors for u in f.gemms]
-                    + [u.weights.size for f in c.factors for u in f.scales]
+                    + [u.weights.size for f in c.factors
+                       for u in f.scales]
                 )
                 blk.chain = c
-                bf_blks.append(blk)
+                lr_blks.append(blk)
 
-        # oversized butterfly blocks (top partition levels are ~N/4 wide —
-        # far beyond the largest distill tile) each apply through their OWN
-        # packed stage plan with index-mapped gather/scatter; the chain's
-        # product structure is preserved, nothing is densified
-        mega_blks = [b for b in bf_blks if max(b.nr, b.nc) > bf_tiles[-1]]
-        bf_blks = [b for b in bf_blks if max(b.nr, b.nc) <= bf_tiles[-1]]
+        # oversized blocks (top partition levels are ~N/4 wide, with ranks
+        # that grow with k*diam) keep their native butterfly chains and
+        # apply through their OWN packed stage plans
+        mega_blks = [b for b in lr_blks if b.span > bf_tiles[-1]]
+        lr_blks = [b for b in lr_blks if b.span <= bf_tiles[-1]]
         if mega_blks:
             log_info("partition: %d oversized butterfly blocks apply via "
                      "their own stage plans", len(mega_blks))
+        log_info("partition: %d dense blocks, %d low-rank blocks, %d mega",
+                 len(dense_blks), len(lr_blks), len(mega_blks))
 
-        # butterfly blocks whose distill rank would hit the npad//2 cap
-        # cannot actually compress at their class size — distilling them
-        # anyway silently truncates (measured ~2e-6 rel err at high
-        # wavenumber). Route those to the dense classes: a batched GEMM at
-        # full rank is both exact and faster than a fake butterfly.
-        if bf_blks:
-            keys0 = _size_classes([max(b.nr, b.nc) for b in bf_blks],
-                                  bf_tiles)
-            keep = []
-            for b, npad0 in zip(bf_blks, keys0):
-                if rank is None and (mul * b.rmax + rank_margin
-                                     >= npad0 // 2):
-                    Z = _materialize_chain(b.chain)
-                    W = (_interleave_embed(Z) if self._complex
-                         else np.asarray(Z, np.float32))
-                    dense_blks.append((b, W))
-                else:
-                    keep.append(b)
-            if len(keep) != len(bf_blks):
-                log_info("partition: %d uncompressible butterfly blocks "
-                         "routed to dense classes",
-                         len(bf_blks) - len(keep))
-            bf_blks = keep
-
-        log_info("partition: %d dense blocks, %d butterfly blocks",
-                 len(dense_blks), len(bf_blks))
-
-        def _hbm_mb():
-            try:
-                st = jax.local_devices()[0].memory_stats()
-                return st.get("bytes_in_use", 0) / 1e6
-            except Exception:
-                return -1.0
-
-        params = {"dense": [], "bf": []}
-        self._bf_meta = []
-        self._bf_fns = []  # static fused-kernel apply fns, one per class
+        pool = ThreadPoolExecutor(max_workers=workers)
         self._flops = 0
         self._nbytes = 0
-        dump = self.n2  # scatter target for padded output rows
+        cells1: list[Cell] = []   # pass 1: x -> t  (V cells)
+        cells2: list[Cell] = []   # pass 2: [x, t] -> y  (dense + U cells)
 
-        # ---- dense classes (weights come straight from the host chains) --
-        if dense_blks:
-            keys = [
-                (mt, kt)
-                for (b, _), mt, kt in zip(
-                    dense_blks,
-                    _size_classes([b.nr for b, _ in dense_blks],
-                                  dense_tiles, extend=True),
-                    _size_classes([b.nc for b, _ in dense_blks],
-                                  dense_tiles, extend=True),
-                )
-            ]
+        # ---- dense cells ------------------------------------------------
+        for blk, Wb in dense_blks:
+            cells_from_dense_block(Wb, blk.i0, blk.j0, cells2)
+        n_dense_cells = len(cells2)
+
+        # ---- low-rank classes: device sketch factorization --------------
+        self._lr_meta = []
+        t_off = 0          # running row offset into the t buffer
+        max_win_end = self.n2
+        dev_tiles1: list = []   # V tile stacks (device)
+        dev_tiles2: list = []   # U tile stacks (device)
+        if lr_blks:
+            keys = _size_classes([b.span for b in lr_blks], bf_tiles)
+            groups = []
             for cls in sorted(set(keys)):
-                mt, kt = cls
-                members = [dw for dw, k in zip(dense_blks, keys) if k == cls]
-                B = len(members)
-                W = np.zeros((B, mt, kt), np.float32)
-                in_idx = np.full((B, kt), self.m2, np.int32)
-                out_idx = np.full((B, mt), dump, np.int32)
-                for bi, (blk, Wb) in enumerate(members):
-                    W[bi, :blk.nr, :blk.nc] = Wb
-                    in_idx[bi, :blk.nc] = blk.j0 + np.arange(blk.nc)
-                    out_idx[bi, :blk.nr] = blk.i0 + np.arange(blk.nr)
-                params["dense"].append((
-                    jnp.asarray(W),
-                    jnp.asarray(np.minimum(in_idx, self.m2 - 1)),
-                    jnp.asarray(out_idx),
-                ))
-                self._flops += 2 * B * mt * kt
-                self._nbytes += W.nbytes
-                log_info("partition: dense class %s x%d", cls, B)
-            log_info("partition: dense classes resident, HBM %.0f MB",
-                     _hbm_mb())
+                members = [b for b, k in zip(lr_blks, keys) if k == cls]
+                gmax = max(1, batch_budget_bytes // (cls * cls * 4))
+                for g0 in range(0, len(members), gmax):
+                    groups.append((cls, members[g0:g0 + gmax]))
 
-        # ---- butterfly classes (sliced from the device materialization) --
-        if bf_blks:
-            # full dense materialization is the fast path while it fits
-            # HBM comfortably; past that, each block's chain is multiplied
-            # out host-side (O(sum of block areas) memory, no device fetch)
-            full_ok = (self.n2 * self.m2 * 4
-                       <= dense_materialize_limit_bytes)
+            hp = jax.lax.Precision.HIGHEST
+
+            # small-n fast path: materialize the WHOLE operator on the
+            # device once (f32-HIGHEST packed apply to identity columns)
+            # and slice member windows from it — the host chain
+            # materialization is 2-core BLAS and dominated plan build time
+            # (measured 67 s of a 124 s build at n=4096)
             M = None
-            if full_ok:
-                plan_p = pack(op, block_align=64,
-                              real_embed=True if self._complex else None)
-                M = materialize_on_device(plan_p, chunk=materialize_chunk)
+            if self.n2 * self.m2 * 4 <= dense_materialize_limit_bytes:
+                from butterfly_tpu.fac.distill import stacked_to_interleaved
+                from butterfly_tpu.fac.uniformize import (
+                    materialize_on_device,
+                )
+                from butterfly_tpu.ops.packed import pack as _pack
+
+                plan_p = _pack(op, block_align=64,
+                               real_embed=True if self._complex else None)
+                M = materialize_on_device(plan_p, chunk=256)
                 if self._complex:
                     M = stacked_to_interleaved(M)
                 M = jax.block_until_ready(M)
-            else:
-                log_info("partition: host chain materialization "
-                         "(dense would be %.1f GB)",
-                         self.n2 * self.m2 * 4 / 2**30)
+                del plan_p
 
-            sizes = [max(b.nr, b.nc) for b in bf_blks]
-            keys = _size_classes(sizes, bf_tiles)
-            class_groups = []
-            for cls in sorted(set(keys)):
-                cls_members = [b for b, k in zip(bf_blks, keys) if k == cls]
-                # chunk a class so its (B, npad, npad) batch and the device
-                # distillation's intermediates stay ~1 GB (a 65k-point run
-                # RESOURCE_EXHAUSTED with one multi-thousand-member batch)
-                gmax = max(1, (1 << 30) // (cls * cls * 4))
-                for g0 in range(0, len(cls_members), gmax):
-                    class_groups.append((cls, cls_members[g0:g0 + gmax]))
-            for cls, members in class_groups:
+            def _slice_batch(M, offs, npad):
+                r_off, c_off, r_lo, r_hi, c_lo, c_hi = offs
+                ar = jnp.arange(npad)
+                ri = jnp.minimum(r_off[:, None] + ar[None, :],
+                                 M.shape[0] - 1)
+                ci = jnp.minimum(c_off[:, None] + ar[None, :],
+                                 M.shape[1] - 1)
+                S = M[ri[:, :, None], ci[:, None, :]]
+                mask = (
+                    (ar[None, :, None] >= r_lo[:, None, None])
+                    & (ar[None, :, None] < r_hi[:, None, None])
+                    & (ar[None, None, :] >= c_lo[:, None, None])
+                    & (ar[None, None, :] < c_hi[:, None, None]))
+                return jnp.where(mask, S, 0.0)
+
+            slice_jit = jax.jit(_slice_batch,
+                                static_argnames=("npad",))
+
+            def _factor_batch(Z, rho, key):
+                """Z: (B, npad, npad) device f32. Returns (U, V, rel):
+                U (B, npad, rho), V (B, rho, npad), rel = max over members
+                of probe-residual / max member norm. V is the least-squares
+                fit against Q, so f32 QR orthogonality error cancels."""
+                kO, kP = jax.random.split(jax.random.key(key))
+                npad_ = Z.shape[2]
+                Om = jax.random.normal(kO, (npad_, rho), jnp.float32)
+                Y = jnp.einsum("bnm,mr->bnr", Z, Om, precision=hp)
+                Q, _ = jnp.linalg.qr(Y)
+                G = jnp.einsum("bnr,bns->brs", Q, Q, precision=hp)
+                C = jnp.einsum("bnr,bnm->brm", Q, Z, precision=hp)
+                V = jnp.linalg.solve(G, C)
+                w = jax.random.normal(kP, (npad_, 8), jnp.float32)
+                Zw = jnp.einsum("bnm,mq->bnq", Z, w, precision=hp)
+                Rw = Zw - jnp.einsum(
+                    "bnr,brq->bnq", Q,
+                    jnp.einsum("brm,mq->brq", V, w, precision=hp),
+                    precision=hp)
+                nrm = jnp.sqrt(jnp.sum(Zw * Zw, axis=(1, 2)))
+                res = jnp.sqrt(jnp.sum(Rw * Rw, axis=(1, 2)))
+                rel = jnp.max(res) / jnp.maximum(jnp.max(nrm), 1e-30)
+                return Q, V, rel
+
+            factor_jit = jax.jit(_factor_batch,
+                                 static_argnames=("rho", "key"))
+
+            for cls, members in groups:
                 B = len(members)
                 npad = cls
-                NB_sub = max(2, npad // 128)
+
                 if M is not None:
-                    # slice + zero-mask each member into the padded batch
-                    r_off = jnp.asarray([b.i0 for b in members], jnp.int32)
-                    c_off = jnp.asarray([b.j0 for b in members], jnp.int32)
-                    r_len = jnp.asarray([b.nr for b in members], jnp.int32)
-                    c_len = jnp.asarray([b.nc for b in members], jnp.int32)
-
-                    @jax.jit
-                    def _slice_batch(M, r_off, c_off, r_len, c_len):
-                        ar = jnp.arange(npad)
-                        ri = jnp.minimum(r_off[:, None] + ar[None, :],
-                                         M.shape[0] - 1)
-                        ci = jnp.minimum(c_off[:, None] + ar[None, :],
-                                         M.shape[1] - 1)
-                        S = M[ri[:, :, None], ci[:, None, :]]
-                        mask = ((ar[None, :, None] < r_len[:, None, None])
-                                & (ar[None, None, :] < c_len[:, None, None]))
-                        return jnp.where(mask, S, 0.0)
-
-                    Mb = _slice_batch(M, r_off, c_off, r_len, c_len)
+                    offs = tuple(
+                        jnp.asarray(a, jnp.int32) for a in (
+                            [b.i0 - b.shift_r for b in members],
+                            [b.j0 - b.shift_c for b in members],
+                            [b.shift_r for b in members],
+                            [b.shift_r + b.nr for b in members],
+                            [b.shift_c for b in members],
+                            [b.shift_c + b.nc for b in members],
+                        ))
+                    Zd = slice_jit(M, offs, npad=npad)
                 else:
-                    Mb = _extract_block_batches(
-                        members, npad, self._complex)
-                if rank is None:
-                    # embedded rank = mul x the fac's own max block rank,
-                    # plus margin for the distill's coarser pairings
-                    # (margin 32 measured dropped ~1e-7 — an order tighter
-                    # than the fac's own 1e-6 grade; 12 trades that slack
-                    # for ~2x fewer level flops at these small MXU tiles)
+                    def embed_member(b):
+                        Z = _materialize_chain(b.chain)
+                        Zr = (_interleave_embed(Z) if self._complex
+                              else np.asarray(Z, np.float32))
+                        Mz = np.zeros((npad, npad), np.float32)
+                        Mz[b.shift_r:b.shift_r + b.nr,
+                           b.shift_c:b.shift_c + b.nc] = Zr
+                        return Mz
+
+                    Mb = np.stack(list(pool.map(embed_member, members)))
+                    Zd = jax.block_until_ready(jnp.asarray(Mb))
+
+                if rank is not None:
+                    rho = int(rank)
+                else:
                     rmax = max(b.rmax for b in members)
-                    rk = min(mul * rmax + rank_margin, npad // 2)
-                    rk = max(8, (rk + 7) // 8 * 8)
-                else:
-                    rk = rank
-                dist = distill_butterfly_device(Mb, NB_sub, rank=rk)
-                bs = npad // NB_sub
-                sub_perm = _row_perm_for(NB_sub, bs)
-                in_idx = np.minimum(
-                    np.concatenate([b.j0 + np.arange(npad) for b in members]),
-                    self.m2 - 1).astype(np.int32)
-                out_idx = np.concatenate([
-                    np.where(sub_perm < b.nr, b.i0 + sub_perm, dump)
-                    for b in members
-                ]).astype(np.int32)
-                # the class applies through the fused Pallas kernel: all
-                # levels back-to-back in VMEM, one HBM pass per group —
-                # measured ~2x over per-level einsums at these small ranks
-                from butterfly_tpu.ops.pallas_butterfly import (
-                    FusedButterflyPlan,
-                    _apply_fused,
-                )
+                    rho = min(mul * rmax + rank_margin, npad // 2)
+                    rho = max(16, (rho + 15) // 16 * 16)
+                while True:
+                    U, V, rel = factor_jit(Zd, rho=rho, key=7)
+                    rel = float(rel)
+                    if (rank is not None or rel <= lr_tol
+                            or rho >= npad // 2):
+                        break
+                    rho_new = min(npad // 2, max(rho * 2, rho + 32))
+                    log_info("partition: class %d rho %d rel %.1e > %.0e; "
+                             "retrying at rho %d", cls, rho, rel, lr_tol,
+                             rho_new)
+                    rho = rho_new
+                del Zd
 
-                fplan = FusedButterflyPlan(dist.bf, fuse=8, r_tile=256)
-                self._bf_fns.append(
-                    functools.partial(_apply_fused, fplan._meta))
-                params["bf"].append((
-                    fplan._params, jnp.asarray(in_idx),
-                    jnp.asarray(out_idx)))
-                self._bf_meta.append(
-                    {"cls": cls, "B": B, "NB_sub": NB_sub, "rank": rk,
-                     "dropped": dist.max_sv_discarded,
-                     "sigma": dist.sigma_max})
-                self._flops += dist.bf.flops_per_col()
-                self._nbytes += dist.bf.nbytes()
-                log_info("partition: bf class %d x%d NB=%d rank=%d "
-                         "dropped=%.2e (HBM %.0f MB)", cls, B, NB_sub, rk,
-                         dist.max_sv_discarded, _hbm_mb())
+                # U/V stay ON DEVICE (device->host crawls at ~3 MB/s on
+                # this box): pad + retile them into (ntiles, GM, GK)
+                # stacks that CellPlan concatenates into its weight array
+                rho_pad = -(-rho // GK) * GK
+                rp, npc = rho_pad // GM, npad // GK
+
+                @jax.jit
+                def _tiles(U, V):
+                    B_ = U.shape[0]
+                    Vp = jnp.pad(V, ((0, 0), (0, rho_pad - rho), (0, 0)))
+                    Vt = Vp.reshape(B_, rp, GM, npc, GK).transpose(
+                        0, 1, 3, 2, 4).reshape(-1, GM, GK)
+                    Up = jnp.pad(U, ((0, 0), (0, 0), (0, rho_pad - rho)))
+                    Ut = Up.reshape(B_, npc, GM, rp, GK).transpose(
+                        0, 1, 3, 2, 4).reshape(-1, GM, GK)
+                    return Vt, Ut
+
+                Vt, Ut = _tiles(U, V)
+                del U, V
+                sid1, sid2 = len(dev_tiles1), len(dev_tiles2)
+                dev_tiles1.append(jax.block_until_ready(Vt))
+                dev_tiles2.append(jax.block_until_ready(Ut))
+
+                for bi, b in enumerate(members):
+                    i0a = b.i0 - b.shift_r
+                    j0a = b.j0 - b.shift_c
+                    max_win_end = max(max_win_end, j0a + npad)
+                    # V cells: t[t_off : +rho] += V_b @ x[j0a : +npad]
+                    for rr in range(rp):
+                        for ccx in range(npc):
+                            cells1.append(Cell(
+                                dst=t_off + rr * GM, src_buf=0,
+                                src_blk=j0a // GK + ccx,
+                                w=("dev", sid1,
+                                   (bi * rp + rr) * npc + ccx)))
+                    # U cells: y[i0a : +npad] += U_b @ t[t_off : +rho]
+                    for rr in range(npc):
+                        for cct in range(rp):
+                            cells2.append(Cell(
+                                dst=i0a + rr * GM, src_buf=1,
+                                src_blk=t_off // GK + cct,
+                                w=("dev", sid2,
+                                   (bi * npc + rr) * rp + cct)))
+                    t_off += rho_pad
+                self._lr_meta.append(
+                    {"cls": cls, "B": B, "rho": rho, "rel": rel})
+                log_info("partition: lr class %d x%d rho=%d rel=%.2e",
+                         cls, B, rho, rel)
             del M
+        pool.shutdown()
+        self.t_rows = max(t_off, GK)
+
+        # ---- the two cell-kernel passes ---------------------------------
+        # shared r tile so pass-1 output feeds pass 2 without repacking
+        from butterfly_tpu.ops.cellsp import _OUT_BUDGET_BYTES
+        n_out_pad = -(-(self.n2 + GM) // GM) * GM
+        rt = 512
+        while rt > 128 and n_out_pad * rt * 4 > _OUT_BUDGET_BYTES:
+            rt //= 2
+
+        buf0_rows = max(self.n2, max_win_end)
+        self._cells1 = None
+        if cells1:
+            self._cells1 = CellPlan(self.t_rows, [buf0_rows], cells1,
+                                    r_tile=rt, precision="highest",
+                                    dev_tiles=dev_tiles1)
+            self._flops += self._cells1.flops_per_col()
+            self._nbytes += self._cells1.nbytes()
+        if not cells2:
+            cells2.append(Cell(dst=0, src_buf=0, src_blk=0,
+                               w=np.zeros((GM, GK), np.float32)))
+        self._cells2 = CellPlan(self.n2, [buf0_rows, self.t_rows], cells2,
+                                r_tile=rt, precision="highest",
+                                dev_tiles=dev_tiles2)
+        self._flops += self._cells2.flops_per_col()
+        self._nbytes += self._cells2.nbytes()
+        log_info("partition: pass1 %d cells, pass2 %d cells (%d dense), "
+                 "t rows %d, weights %.0f MB",
+                 len(cells1), len(cells2), n_dense_cells, self.t_rows,
+                 self._nbytes / 1e6)
 
         # ---- oversized butterfly blocks: one packed stage plan each ------
         self._mega = []
         if mega_blks:
             from butterfly_tpu.ops.linop import Scaled as _Scaled
+            from butterfly_tpu.ops.packed import pack
 
             for b in mega_blks:
                 c = b.chain
@@ -410,48 +444,38 @@ class PartitionPlan:
                 self._flops += 2 * sp.stats.padded_flops_per_col
                 self._nbytes += sp.stats.weight_bytes
 
-        self.params = params
+        self.params = {
+            "p1": self._cells1.params if self._cells1 is not None else None,
+            "p2": self._cells2.params,
+        }
         n2 = self.n2
-        hp = jax.lax.Precision.HIGHEST
         has_mega = bool(self._mega)
+        cp1, cp2 = self._cells1, self._cells2
+
+        def tiled_with(params, x):
+            r = x.shape[1]
+            r_pad = -(-max(r, 128) // rt) * rt
+            if r_pad != r:
+                x = jnp.pad(x, ((0, 0), (0, r_pad - r)))
+            xp = cp2.pad_rows(0, x)
+            if cp1 is not None:
+                t = cp1.apply_padded(params["p1"], [xp], r_pad)
+                t = t[:cp2.buf_rows_pad[1]]
+            else:
+                t = jnp.zeros((cp2.buf_rows_pad[1], r_pad), jnp.float32)
+            y = cp2.apply_padded(params["p2"], [xp, t], r_pad)
+            return y[:n2, :r]
 
         def apply_with(params, x):
             """x: (n2, r) interleaved real, TREE index order. Covers the
-            tiled classes only — plans with oversized blocks must go
-            through apply()/apply_device (their sub-plans cannot be nested
-            in an outer jit: the remote TPU compiler rejects the combined
+            tiled cells only — plans with oversized blocks must go through
+            apply()/apply_device (their sub-plans cannot be nested in an
+            outer jit: the remote TPU compiler rejects the combined
             program)."""
             check(not has_mega,
                   "this plan has oversized blocks; use apply()/"
                   "apply_device(), not the jittable apply_with")
-            y = jnp.zeros((n2 + 1, x.shape[1]), x.dtype)
-            for W, in_idx, out_idx in params["dense"]:
-                xa = jnp.take(x, in_idx.reshape(-1), axis=0).reshape(
-                    in_idx.shape[0], in_idx.shape[1], x.shape[1])
-                ya = jnp.einsum("bmk,bkr->bmr", W, xa, precision=hp)
-                y = y.at[out_idx.reshape(-1)].add(
-                    ya.reshape(-1, x.shape[1]))
-            for fn, (bfp, in_idx, out_idx) in zip(
-                    self._bf_fns, params["bf"]):
-                xa = jnp.take(x, in_idx, axis=0)
-                ya = fn(bfp, xa)
-                y = y.at[out_idx].add(ya)
-            return y[:n2]
-
-        def tiled_with(params, x):
-            y = jnp.zeros((n2 + 1, x.shape[1]), x.dtype)
-            for W, in_idx, out_idx in params["dense"]:
-                xa = jnp.take(x, in_idx.reshape(-1), axis=0).reshape(
-                    in_idx.shape[0], in_idx.shape[1], x.shape[1])
-                ya = jnp.einsum("bmk,bkr->bmr", W, xa, precision=hp)
-                y = y.at[out_idx.reshape(-1)].add(
-                    ya.reshape(-1, x.shape[1]))
-            for fn, (bfp, in_idx, out_idx) in zip(
-                    self._bf_fns, params["bf"]):
-                xa = jnp.take(x, in_idx, axis=0)
-                ya = fn(bfp, xa)
-                y = y.at[out_idx].add(ya)
-            return y[:n2]
+            return tiled_with(params, x)
 
         self.apply_with = apply_with
         self._apply_jit = jax.jit(tiled_with)
@@ -463,7 +487,7 @@ class PartitionPlan:
     # -- conveniences ----------------------------------------------------
 
     def apply_device(self, x):
-        """Full apply as device arrays: the tiled-class jit plus each
+        """Full apply as device arrays: the tiled-cell jit plus each
         oversized block's own stage plan (composed at the Python level —
         dispatches pipeline; only the final consumer synchronizes)."""
         import jax.numpy as jnp
