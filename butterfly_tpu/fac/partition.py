@@ -222,22 +222,40 @@ class PartitionPlan:
             # device once (f32-HIGHEST packed apply to identity columns)
             # and slice member windows from it — the host chain
             # materialization is 2-core BLAS and dominated plan build time
-            # (measured 67 s of a 124 s build at n=4096)
+            # (measured 67 s of a 124 s build at n=4096). Gated on BOTH
+            # the dense size and the packed plan's gather-buffer estimate:
+            # the full-op StagePlan stages a row per unit input, ~2200x n
+            # at Helmholtz wavenumbers, which OOMed HBM at n=16384
+            # (36.5 GB for a 256-wide apply).
+            est_gather_rows = mul * sum(
+                f.in_dim for c in chains for f in c.factors)
             M = None
-            if self.n2 * self.m2 * 4 <= dense_materialize_limit_bytes:
-                from butterfly_tpu.fac.distill import stacked_to_interleaved
-                from butterfly_tpu.fac.uniformize import (
-                    materialize_on_device,
-                )
-                from butterfly_tpu.ops.packed import pack as _pack
+            if (self.n2 * self.m2 * 4 <= dense_materialize_limit_bytes
+                    and est_gather_rows * 256 * 4 <= 2 << 30):
+                try:
+                    from butterfly_tpu.fac.distill import (
+                        stacked_to_interleaved,
+                    )
+                    from butterfly_tpu.fac.uniformize import (
+                        materialize_on_device,
+                    )
+                    from butterfly_tpu.ops.packed import pack as _pack
 
-                plan_p = _pack(op, block_align=64,
-                               real_embed=True if self._complex else None)
-                M = materialize_on_device(plan_p, chunk=256)
-                if self._complex:
-                    M = stacked_to_interleaved(M)
-                M = jax.block_until_ready(M)
-                del plan_p
+                    plan_p = _pack(
+                        op, block_align=64,
+                        real_embed=True if self._complex else None)
+                    M = materialize_on_device(plan_p, chunk=256)
+                    if self._complex:
+                        M = stacked_to_interleaved(M)
+                    M = jax.block_until_ready(M)
+                    del plan_p
+                except Exception as e:  # noqa: BLE001 - bucket padding can
+                    # blow the gather buffer past HBM at high wavenumber;
+                    # the host-chain path is always correct, just slower
+                    log_info("partition: device materialization failed "
+                             "(%s); host chain fallback",
+                             str(e).splitlines()[0][:80])
+                    M = None
 
             def _slice_batch(M, offs, npad):
                 r_off, c_off, r_lo, r_hi, c_lo, c_hi = offs
@@ -318,12 +336,22 @@ class PartitionPlan:
                     rmax = max(b.rmax for b in members)
                     rho = min(mul * rmax + rank_margin, npad // 2)
                     rho = max(16, (rho + 15) // 16 * 16)
+                prev = None
                 while True:
                     U, V, rel = factor_jit(Zd, rho=rho, key=7)
                     rel = float(rel)
                     if (rank is not None or rel <= lr_tol
                             or rho >= npad // 2):
                         break
+                    if prev is not None and rel > 0.5 * prev[2]:
+                        # rank escalation stopped helping: the residual is
+                        # the f32 factorization floor (~4e-7 at npad=4096),
+                        # not truncation — keep the SMALLER rank
+                        U, V, rel, rho = prev[0], prev[1], prev[2], prev[3]
+                        log_info("partition: class %d rel %.1e is the f32 "
+                                 "floor; keeping rho %d", cls, rel, rho)
+                        break
+                    prev = (U, V, rel, rho)
                     rho_new = min(npad // 2, max(rho * 2, rho + 32))
                     log_info("partition: class %d rho %d rel %.1e > %.0e; "
                              "retrying at rho %d", cls, rho, rel, lr_tol,
@@ -454,7 +482,7 @@ class PartitionPlan:
 
         def tiled_with(params, x):
             r = x.shape[1]
-            r_pad = -(-max(r, 128) // rt) * rt
+            r_pad = cp2.round_r(r)
             if r_pad != r:
                 x = jnp.pad(x, ((0, 0), (0, r_pad - r)))
             xp = cp2.pad_rows(0, x)

@@ -124,13 +124,22 @@ def _cell_kernel(meta: _CellMeta, *refs):
             o_ref[pl.ds(d, GM), :] += bufs[i][...]
 
 
+def _round_r(r_tile: int, r: int) -> int:
+    """Padded r for a given block r_tile: narrow inputs stay narrow (one
+    r_tile-sized or smaller tile) instead of padding to a full r_tile."""
+    r_pad = -(-max(r, 128) // 128) * 128
+    if r_pad > r_tile:
+        r_pad = -(-r_pad // r_tile) * r_tile
+    return r_pad
+
+
 def _cell_call(meta: _CellMeta, r_pad: int):
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nb = meta.n_bufs
-    rt = meta.r_tile
+    rt = min(meta.r_tile, r_pad)
 
     def w_map(j, t, dst, widx, src, kind, *ccs):
         return (widx[t], 0, 0)
@@ -326,13 +335,15 @@ class CellPlan:
         pad = self.buf_rows_pad[i] - buf.shape[0]
         return buf if pad == 0 else jnp.pad(buf, ((0, pad), (0, 0)))
 
+    def round_r(self, r: int) -> int:
+        return _round_r(self._meta.r_tile, r)
+
     def apply(self, bufs):
         """Convenience: takes unpadded bufs (n_i, r), returns (n_out, r)."""
         import jax.numpy as jnp
 
         r = bufs[0].shape[1]
-        rt = self._meta.r_tile
-        r_pad = -(-max(r, 128) // rt) * rt
+        r_pad = self.round_r(r)
         padded = []
         for i, b in enumerate(bufs):
             b = self.pad_rows(i, b)

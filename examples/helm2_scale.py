@@ -1,19 +1,18 @@
 """Large-N Helmholtz butterfly: setup cost, device apply, GMRES solve.
 
-VERDICT r3 item 5 / reference parity with the multiple-scattering collector
-grid (examples/multiple_scattering/collect_multiple_scattering_data.py:10-13,
-k in logspace up to 250k points): factorize the 2D Helmholtz S' operator on
-an ellipse at n >= 65536 with points-per-wavelength held fixed (k grows with
-n), run the compressed apply on the TPU through the packed stage plan, check
-rel err against a dense row-subset oracle, and solve the second-kind BIE
-with GMRES.
-
-The packed StagePlan is the memory-scalable apply (weights = the fac's own
-blocks, no dense materialization); the partition plan (fac/partition.py)
-remains the small-N turbo until its block-wise materialization lands.
+Reference parity with the multiple-scattering collector grid
+(examples/multiple_scattering/collect_multiple_scattering_data.py:10-13,
+k in logspace up to 250k points): factorize the 2D Helmholtz combined-field
+operator on an ellipse at n up to 65536 with points-per-wavelength held
+fixed (k grows with n), run the compressed apply on the TPU through the
+partition cell-kernel plan, check rel err against a row-sampled dense
+oracle (utils/oracle.py — no dense operator exists at these sizes), and
+solve the second-kind BIE with the device-resident GMRES driver
+(ops/linalg.py solve_gmres_plan: Krylov basis on chip, host sees only one
+Hessenberg column per iteration), so solve wall time ~= iters x apply.
 
 Usage:
-  python examples/helm2_scale.py --sizes 16384 65536 --out HELM2_SCALE_r04.json
+  python examples/helm2_scale.py --sizes 4096 16384 65536 --out HELM2_SCALE_r05.json
 """
 
 from __future__ import annotations
@@ -35,12 +34,12 @@ def run_one(n: int, ppw: float, leaf: int, queries: int = 64):
     import jax.numpy as jnp
 
     from butterfly_tpu.fac import helm2 as fac_helm2
+    from butterfly_tpu.fac.partition import partition_apply_plan
     from butterfly_tpu.geom import Ellipse
     from butterfly_tpu.ops.helm2 import Helm2, LayerPot
-    from butterfly_tpu.fac.partition import partition_apply_plan
-    from butterfly_tpu.ops.linalg import solve_gmres
-    from butterfly_tpu.ops.linop import FuncOp
+    from butterfly_tpu.ops.linalg import solve_gmres_plan
     from butterfly_tpu.trees import Quadtree
+    from butterfly_tpu.utils.oracle import row_oracle_rel_err
 
     ell = Ellipse(1.0, 0.7, (0.0, 0.0), 0.3)
     X, _, Nrm, w = ell.sample_linspaced(n)
@@ -61,23 +60,12 @@ def run_one(n: int, ppw: float, leaf: int, queries: int = 64):
     log(f"  fac setup: {rec['setup_fac_s']} s")
 
     t0 = time.time()
-    # partition plan: chain-materialized butterfly classes + batched device
-    # distillation — the O(sum-of-block-areas) path (the generic packed
-    # StagePlan's gather buffer is ~2200x n rows at these wavenumbers and
-    # OOMs HBM at n=16384)
-    plan = partition_apply_plan(
-        A, rank_margin=32,  # 96 tripled every class's weight bytes for no
-        # accuracy gain: the ~1.7e-6 rel err is the f32 weight-quantization
-        # floor (identical at margins 32 and 96), not distill truncation
-        # large-N tile ladder: mid-size separated blocks distill as
-        # butterfly classes; only the top partition levels (few blocks)
-        # take the per-block stage-plan path — 668 per-block plans at the
-        # default 1024 cap was a compile storm and exhausted HBM
-        bf_tiles=(256, 512, 1024, 2048, 4096))
+    plan = partition_apply_plan(A)
     rec["setup_plan_s"] = round(time.time() - t0, 1)
     rec["weights_mb"] = round(plan.nbytes() / 1e6, 1)
     rec["dense_mb"] = round(n * n * 16 / 1e6, 1)
     rec["compression_ratio"] = round(plan.nbytes() / (n * n * 16), 4)
+    rec["num_mega_blocks"] = len(plan._mega)
     log(f"  plan: {rec['setup_plan_s']} s, {rec['weights_mb']} MB "
         f"({rec['compression_ratio']:.4f} of dense c128)")
 
@@ -87,9 +75,6 @@ def run_one(n: int, ppw: float, leaf: int, queries: int = 64):
     summ = jax.jit(lambda a: jnp.sum(a))
     normz = jax.jit(lambda y: y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-30))
 
-    # apply_device composes the tiled-class jit with each oversized
-    # block's own stage plan at the Python level (they cannot nest in one
-    # jit on this box); dispatches pipeline, the scalar fetch synchronizes
     def step(c):
         return normz(plan.apply_device(c))
 
@@ -112,43 +97,43 @@ def run_one(n: int, ppw: float, leaf: int, queries: int = 64):
     rec["apply_tflops"] = round(flops / per / 1e12, 2)
     log(f"  apply r={r}: {per*1e3:.2f} ms -> {rec['apply_tflops']} TFLOP/s")
 
-    # ---- accuracy vs dense oracle (row subset) --------------------------
+    # ---- accuracy vs row-sampled dense oracle ---------------------------
     rng = np.random.default_rng(0)
     zs = rng.standard_normal((n, 2)) + 1j * rng.standard_normal((n, 2))
     got = plan.apply_complex(zs)
-    sub = rng.choice(n, 96, replace=False)
     Xp, Np = X[tree.perm], Nrm[tree.perm]
-    Kd = helm.kernel_matrix(Xp, Xp[sub], Np, None)
-    want = Kd @ zs
-    rel = float(np.linalg.norm(got[sub] - want) / np.linalg.norm(want))
-    rec["rel_err_vs_dense"] = float(f"{rel:.2e}")
-    log(f"  rel err vs dense (96-row oracle): {rel:.2e}")
 
-    # ---- GMRES on the second-kind BIE -----------------------------------
+    def exact_rows(rows):
+        Kd = helm.kernel_matrix(Xp, Xp[rows], Np, None)
+        return Kd @ zs
+
+    rel, _ = row_oracle_rel_err(got, exact_rows, n, num_rows=128)
+    rec["rel_err_vs_dense"] = float(f"{rel:.2e}")
+    log(f"  rel err vs dense (128-row oracle): {rel:.2e}")
+
+    # ---- GMRES on the second-kind BIE (device-resident driver) ----------
     # system: (I/2 + (D - ikS)_w) sigma = u_inc of an interior source —
     # the combined-field analogue of the reference flagship example
-    # (examples/simple/helm2_bie.c:162-175).
+    # (examples/simple/helm2_bie.c:162-175), solved in the interleaved
+    # real embedding with vectors on the device throughout.
     x_src = np.array([[0.1, -0.05]])
     from butterfly_tpu.ops.helm2 import Helm2 as _H
     rhs = _H(k=k, layer_pot=LayerPot.SINGLE).kernel_matrix(x_src, Xp)[:, 0]
     wp = w[tree.perm]
+    wp2 = jnp.asarray(np.repeat(wp, 2), jnp.float32)
+    b2 = np.empty(2 * n, np.float32)
+    b2[0::2], b2[1::2] = rhs.real, rhs.imag
 
-    def sys_matmat(V):
-        # pad single-RHS GMRES matvecs to the already-compiled width r:
-        # the plan's (tiled jit + per-oversized-block) executables would
-        # otherwise all recompile at width 1 (~150 compiles; measured 968 s
-        # of a 23-iteration solve at n=16384)
-        V = np.ascontiguousarray(V)
-        k_true = V.shape[1]
-        if k_true < r:
-            V = np.concatenate(
-                [V, np.zeros((V.shape[0], r - k_true), V.dtype)], axis=1)
-        out = np.asarray(plan.apply_complex(wp[:, None] * V))[:, :k_true]
-        return out + 0.5 * V[:, :k_true]
+    half_plus = jax.jit(lambda v, y: 0.5 * v + y)
+    weigh = jax.jit(lambda v: (v * wp2)[:, None])
 
-    sysop = FuncOp((n, n), sys_matmat, dtype=np.complex128)
+    def sys_apply(v):
+        y = plan.apply_device(weigh(v))[:, 0]
+        return half_plus(v, y)
+
     t0 = time.time()
-    res = solve_gmres(sysop, rhs, tol=1e-8, max_iter=300, restart=80)
+    res = solve_gmres_plan(sys_apply, jnp.asarray(b2), tol=3e-7,
+                           restart=80, max_iter=300)
     rec["gmres_s"] = round(time.time() - t0, 1)
     rec["gmres_iters"] = int(res.num_iter)
     rec["gmres_rel_res"] = float(f"{res.residuals[-1]:.2e}")

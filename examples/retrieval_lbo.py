@@ -70,6 +70,8 @@ def main() -> None:
     ap.add_argument("--config1m", action="store_true",
                     help="BASELINE configs[1]: compressed lookup + scoring "
                          "on a 1M x 128 table (skips the LBO pipeline)")
+    ap.add_argument("--skip-deep-1m", action="store_true",
+                    help="skip the deep-format row in --config1m")
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpret mode (CPU)")
     args = ap.parse_args()
@@ -425,13 +427,108 @@ def run_config1m(args, jax, jnp, compress_table, recall_at_k) -> None:
     }
     log(json.dumps(row))
     out = [row]
+
+    # ---- two-stage: compressed scan -> exact re-rank of top-K2 ----------
+    # standard serving shape (VERDICT r4 item 4): the compressed table
+    # prunes 1M rows to K2 candidates, then one gather + one small GEMM
+    # re-scores the candidates against exact rows (K2*d*4 = 128 KB of
+    # exact-table reads per query, vs scanning 537 MB densely). Strict
+    # recall then measures candidate coverage, not score quantization.
+    K2 = 256
+
+    @jax.jit
+    def rerank_idx(ct_, P, Q0):
+        _, cand = ct_.topk(Q0, K2)
+        rows = jnp.take(P, cand.reshape(-1), axis=0).reshape(q, K2, d)
+        s2 = jnp.einsum("qkd,qd->qk", rows, Q0,
+                        preferred_element_type=jnp.float32)
+        _, i2 = jax.lax.top_k(s2, 100)
+        return jnp.take_along_axis(cand, i2, axis=1)
+
+    def step_rr(ct_, Qc):
+        idx_ = rerank_idx(ct_, Phi_dev, Qc)
+        return Qc * (1.0 + 1e-30 * jnp.sum(idx_.astype(jnp.float32)))
+
+    jrr = jax.jit(step_rr)
+    float(_summ(jrr(ct, Qd)))
+
+    def run_rr(k):
+        cur = Qd
+        t0 = time.perf_counter()
+        for _ in range(int(k)):
+            cur = jrr(ct, cur)
+        float(_summ(cur))
+        return time.perf_counter() - t0
+
+    t_rr = slope_t(run_rr, 2, 10)
+    idx_rr = rerank_idx(ct, Phi_dev, Qd)
+    rec_rr = recall_at_k(np.asarray(idx_rr), true100)
+    row_rr = {
+        "format": "one_level_1m_rerank", "n": n, "d": d, "rank": rank,
+        "rerank_k": K2, "mb_compressed": round(mb, 1),
+        "exact_bytes_per_query": K2 * d * 4,
+        "queries_per_s": int(q / t_rr),
+        "recall_at_100_strict": round(rec_rr, 4),
+        "device": str(jax.devices()[0]),
+    }
+    log(json.dumps(row_rr))
+    out.append(row_rr)
+
+    # ---- deep format at 1M (VERDICT r4: deep rows stopped at 163k) ------
+    if not args.skip_deep_1m:
+        from butterfly_tpu.models.retrieval import compress_table_deep
+
+        t0 = time.time()
+        dt = compress_table_deep(Phi, tol=args.deep_tol, col_depth=3,
+                                 row_leaf=256)
+        deep_setup = time.time() - t0
+        log(f"deep 1m setup {deep_setup:.1f} s; "
+            f"logical {dt.nbytes_logical()/1e6:.0f} MB")
+        fn_dt = dt.plan._apply_jit
+
+        def step_dt(params, Qc):
+            scores = fn_dt(params, Qc.T)
+            vals, _ = jax.lax.top_k(scores.T, 100)
+            return Qc * (1.0 + 1e-30 * jnp.sum(vals))
+
+        jdt = jax.jit(step_dt)
+        float(_summ(jdt(dt.plan._params, Qd)))
+
+        def run_dt(k):
+            cur = Qd
+            t0 = time.perf_counter()
+            for _ in range(int(k)):
+                cur = jdt(dt.plan._params, cur)
+            float(_summ(cur))
+            return time.perf_counter() - t0
+
+        t_dt = slope_t(run_dt, 2, 10)
+        _, idx_dt = jax.jit(
+            lambda p, Q0: jax.lax.top_k(fn_dt(p, Q0.T).T, 100)
+        )(dt.plan._params, Qd)
+        rec_dt = recall_at_k(np.asarray(idx_dt), true100)
+        row_dt = {
+            "format": "deep_1m", "n": n, "d": d, "tol": args.deep_tol,
+            "mb_logical": round(dt.nbytes_logical() / 1e6, 1),
+            "mb_device": round(dt.nbytes() / 1e6, 1),
+            "dense_mb": round(dense_mb, 1),
+            "compression_ratio": round(
+                dt.nbytes_logical() / 1e6 / dense_mb, 3),
+            "setup_s": round(deep_setup, 1),
+            "queries_per_s": int(q / t_dt),
+            "recall_at_100_strict": round(rec_dt, 4),
+            "device": str(jax.devices()[0]),
+        }
+        log(json.dumps(row_dt))
+        out.append(row_dt)
     if args.out:
         if os.path.exists(args.out):  # merge: replace same-format rows
             with open(args.out) as f:
                 try:
                     old = json.load(f)
+                    new_fmts = {r["format"] for r in out}
                     out = [r for r in old
-                           if r.get("format") != row["format"]] + out
+                           if r.get("format") not in new_fmts] + out
                 except ValueError:
                     pass
         with open(args.out, "w") as f:

@@ -182,3 +182,31 @@ def test_gmres_device_on_real_embedded_plan(rng):
     xc = xr[:n] + 1j * xr[n:]
     rel = np.linalg.norm(Ac @ xc - bc) / np.linalg.norm(bc)
     assert rel < 1e-8, f"real-embedded device gmres rel {rel:.2e}"
+
+
+def test_gmres_plan_driver(rng):
+    """Python-driven device GMRES (solve_gmres_plan): vectors stay on the
+    device, the host runs only the Givens recurrence; the operator may be
+    any Python-level callable (e.g. a mega-composed PartitionPlan)."""
+    import jax.numpy as jnp
+
+    from butterfly_tpu.ops.linalg import solve_gmres_plan
+
+    n = 160
+    A = np.diag(np.linspace(1, 2, n)) + 0.02 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A, jnp.float32)
+
+    res = solve_gmres_plan(lambda v: Aj @ v.astype(jnp.float32),
+                           jnp.asarray(b, jnp.float32),
+                           tol=1e-5, restart=40, max_iter=160)
+    rel = np.linalg.norm(A @ res.x - b) / np.linalg.norm(b)
+    assert res.converged
+    assert rel < 1e-4, f"gmres_plan rel {rel:.2e}"
+
+    # restart cycles exercise the outer loop
+    res2 = solve_gmres_plan(lambda v: Aj @ v.astype(jnp.float32),
+                            jnp.asarray(b, jnp.float32),
+                            tol=1e-5, restart=10, max_iter=200)
+    rel2 = np.linalg.norm(A @ res2.x - b) / np.linalg.norm(b)
+    assert rel2 < 1e-4, f"gmres_plan restarted rel {rel2:.2e}"
