@@ -352,6 +352,16 @@ def solve_gmres_plan(
     def _start(V, r, rnorm):
         return V.at[0].set(r / jnp.where(rnorm > 0, rnorm, 1.0))
 
+    # eager jnp ops cost ~100 ms each on this box; keep ALL per-iteration
+    # glue inside jitted helpers
+    @jax.jit
+    def _row(V, j):
+        return V[j]
+
+    @jax.jit
+    def _resid(b, ax):
+        return b - ax.reshape(b.shape)
+
     @jax.jit
     def _orth(V, w, j):
         """CGS2 against V[0..j]; returns (V with V[j+1] set, hcol, hlast)."""
@@ -379,7 +389,7 @@ def solve_gmres_plan(
     total = 0
     converged = False
     while total < max_iter and not converged:
-        r = b - jnp.asarray(apply_fn(x)).reshape(n)
+        r = _resid(b, jnp.asarray(apply_fn(x)))
         rnorm = float(_norm(r))
         residuals.append(rnorm / bnorm)
         if rnorm / bnorm < tol:
@@ -397,8 +407,11 @@ def solve_gmres_plan(
         for j in range(m):
             if total >= max_iter:
                 break
-            w = jnp.asarray(apply_fn(V[j])).reshape(n)
-            V, hcol_d, beta_d = _orth(V, w, j)
+            w = jnp.asarray(apply_fn(_row(V, jnp.int32(j)))).reshape(n)
+            # j as a device scalar: a Python int would retrace/recompile
+            # _orth once per iteration (measured 0.8 s/iter of pure
+            # compiles at n=16384)
+            V, hcol_d, beta_d = _orth(V, w, jnp.int32(j))
             hcol = np.asarray(hcol_d, np.float64)
             hcol[j + 1] = float(beta_d)
             for i in range(j):
@@ -427,7 +440,7 @@ def solve_gmres_plan(
                     Hr[i, i] if Hr[i, i] != 0 else 1.0)
             x = _update(x, V, y)
     # true residual check (the Givens estimate drifts at the f32 floor)
-    r = b - jnp.asarray(apply_fn(x)).reshape(n)
+    r = _resid(b, jnp.asarray(apply_fn(x)))
     final = float(_norm(r)) / bnorm
     residuals.append(final)
     log_info("gmres_plan: %d iters, rel res %.3e (givens est %.3e)",

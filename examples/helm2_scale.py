@@ -124,12 +124,12 @@ def run_one(n: int, ppw: float, leaf: int, queries: int = 64):
     b2 = np.empty(2 * n, np.float32)
     b2[0::2], b2[1::2] = rhs.real, rhs.imag
 
-    half_plus = jax.jit(lambda v, y: 0.5 * v + y)
+    # all per-iteration glue jitted (eager jnp ops cost ~100 ms on this box)
+    post = jax.jit(lambda v, y: 0.5 * v + y[:, 0])
     weigh = jax.jit(lambda v: (v * wp2)[:, None])
 
     def sys_apply(v):
-        y = plan.apply_device(weigh(v))[:, 0]
-        return half_plus(v, y)
+        return post(v, plan.apply_device(weigh(v)))
 
     t0 = time.time()
     res = solve_gmres_plan(sys_apply, jnp.asarray(b2), tol=3e-7,
