@@ -41,6 +41,7 @@ from butterfly_tpu.ops.linop import (
 )
 from butterfly_tpu.ops.svd import truncated_svd
 from butterfly_tpu.trees.tree import Tree, TreeNode
+from butterfly_tpu.utils.debug import debug_enabled, deep_check_fac
 from butterfly_tpu.utils.errors import RuntimeButterflyError, check
 from butterfly_tpu.utils.logging import log_debug, log_info
 from butterfly_tpu.utils.prng import host_rng
@@ -123,12 +124,15 @@ def _leaf_fac(spec: FacSpec, col_node: TreeNode, Phi: np.ndarray) -> PartialFac:
         row_nodes.append(node)
         psi_blocks.append(psi)
         w_blocks.append(w)
-    return PartialFac(
+    fac = PartialFac(
         col_node=col_node,
         row_nodes=row_nodes,
         Psi=BlockDiag(psi_blocks),
         W=[BlockDense.from_col(w_blocks)],
     )
+    if debug_enabled():  # BF_DEBUG analogue (src/fac_helm2.c:926-936)
+        deep_check_fac(fac, where=f"leaf[{col_node.i0},{col_node.i1})")
+    return fac
 
 
 # ---------------------------------------------------------------------------
@@ -282,7 +286,10 @@ def merge_and_split(facs: Sequence[PartialFac], spec: FacSpec) -> PartialFac:
     W = [W0, W1]
     for k in range(1, num_w):
         W.append(BlockDiag([f.W[k] for f in facs]))
-    return PartialFac(parent, row_nodes, Psi, W)
+    out = PartialFac(parent, row_nodes, Psi, W)
+    if debug_enabled():  # BF_DEBUG analogue: per-merge consistency
+        deep_check_fac(out, where=f"merge[{parent.i0},{parent.i1})")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -141,3 +141,46 @@ def test_random_matrix_does_not_compress(rng):
     fac = _stream(Phi, row_depth=3, col_depth=2, tol=1e-12).get_fac()
     rel = np.linalg.norm(fac.as_linop().materialize() - Phi) / np.linalg.norm(Phi)
     assert rel < 1e-10
+
+
+def test_debug_invariant_mode(monkeypatch):
+    """BUTTERFLY_DEBUG=1 runs per-leaf/per-merge deep invariant checks
+    (the reference's BF_DEBUG analogue, src/fac_helm2.c:926-936) without
+    changing the result."""
+    import numpy as np
+
+    from butterfly_tpu.config import FacSpec
+    from butterfly_tpu.fac.streamer import FacStreamer
+    from butterfly_tpu.trees import uniform_tree
+    from butterfly_tpu.utils.debug import debug_enabled, deep_check_fac
+
+    monkeypatch.setenv("BUTTERFLY_DEBUG", "1")
+    assert debug_enabled()
+
+    n, m = 256, 64
+    xg = (np.arange(n) + 0.5) / n
+    Phi = np.cos(np.pi * np.outer(xg, np.arange(m))) * np.sqrt(2.0 / n)
+    spec = FacSpec(
+        row_tree=uniform_tree(n, 2, 4),
+        col_tree=uniform_tree(m, 2, 2),
+        row_tree_init_depth=1, tol=1e-10,
+        min_num_rows=4, min_num_cols=4,
+    )
+    st = FacStreamer(spec)
+    for leaf in spec.col_tree.nodes_at_depth(2):
+        if leaf.num_points:
+            st.feed(Phi[:, leaf.i0:leaf.i1])
+    fac = st.get_fac()
+    deep_check_fac(fac, where="final")
+
+    x = np.random.default_rng(0).standard_normal((m, 3))
+    got = fac.as_linop().matmat(x)
+    rel = np.linalg.norm(got - Phi @ x) / np.linalg.norm(Phi @ x)
+    assert rel < 1e-8
+
+    # a broken fac trips the checker
+    fac.row_nodes = fac.row_nodes[:-1]
+    import pytest
+
+    with pytest.raises(AssertionError, match="invariant"):
+        deep_check_fac(fac)
