@@ -302,6 +302,9 @@ class PartitionPlan:
             factor_jit = jax.jit(_factor_batch,
                                  static_argnames=("rho", "key"))
 
+            cls_state: dict = {}  # cls -> (rho_star, rel_floor) memo so
+            # later chunks of a class skip the escalation dance (the f32
+            # floor is a property of the class size, not the chunk)
             for cls, members in groups:
                 B = len(members)
                 npad = cls
@@ -330,17 +333,21 @@ class PartitionPlan:
                     Mb = np.stack(list(pool.map(embed_member, members)))
                     Zd = jax.block_until_ready(jnp.asarray(Mb))
 
+                tol_eff = lr_tol
                 if rank is not None:
                     rho = int(rank)
                 else:
                     rmax = max(b.rmax for b in members)
                     rho = min(mul * rmax + rank_margin, npad // 2)
                     rho = max(16, (rho + 15) // 16 * 16)
+                    if cls in cls_state:
+                        rho = max(rho, cls_state[cls][0])
+                        tol_eff = max(lr_tol, 1.5 * cls_state[cls][1])
                 prev = None
                 while True:
                     U, V, rel = factor_jit(Zd, rho=rho, key=7)
                     rel = float(rel)
-                    if (rank is not None or rel <= lr_tol
+                    if (rank is not None or rel <= tol_eff
                             or rho >= npad // 2):
                         break
                     if prev is not None and rel > 0.5 * prev[2]:
@@ -354,9 +361,12 @@ class PartitionPlan:
                     prev = (U, V, rel, rho)
                     rho_new = min(npad // 2, max(rho * 2, rho + 32))
                     log_info("partition: class %d rho %d rel %.1e > %.0e; "
-                             "retrying at rho %d", cls, rho, rel, lr_tol,
+                             "retrying at rho %d", cls, rho, rel, tol_eff,
                              rho_new)
                     rho = rho_new
+                if rank is None:
+                    st_ = cls_state.get(cls, (0, 0.0))
+                    cls_state[cls] = (max(st_[0], rho), max(st_[1], rel))
                 del Zd
 
                 # U/V stay ON DEVICE (device->host crawls at ~3 MB/s on

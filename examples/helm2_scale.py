@@ -54,8 +54,22 @@ def run_one(n: int, ppw: float, leaf: int, queries: int = 64):
     log(f"n={n}: k={k:.1f} (ppw={ppw})")
 
     t0 = time.time()
-    tree = Quadtree(X, leaf_size=leaf, normals=Nrm)
-    A = fac_helm2.make_multilevel(helm, tree, tree)
+    # retry insurance for the long 65k runs: the fac build is deterministic
+    # (~11 min host time at 65k), so cache it across process restarts
+    import pickle
+    cache = f"/tmp/helm2_fac_{n}_{leaf}_{ppw}.pkl"
+    try:
+        with open(cache, "rb") as f:
+            tree, A = pickle.load(f)
+        log("  fac loaded from cache")
+    except (OSError, Exception):
+        tree = Quadtree(X, leaf_size=leaf, normals=Nrm)
+        A = fac_helm2.make_multilevel(helm, tree, tree)
+        try:
+            with open(cache, "wb") as f:
+                pickle.dump((tree, A), f, protocol=4)
+        except Exception:
+            pass
     rec["setup_fac_s"] = round(time.time() - t0, 1)
     log(f"  fac setup: {rec['setup_fac_s']} s")
 
