@@ -70,24 +70,36 @@ def _interleave_embed(Z: np.ndarray, dtype=np.float32) -> np.ndarray:
 
 
 def _materialize_chain(chain) -> np.ndarray:
-    """Dense (nr, nc) matrix of one positioned chain: multiply its pure-GEMM
-    factors on the host (f64/c128 BLAS). A butterfly chain's factors are
-    each a few small blocks, so this costs exactly the block's own flops —
-    no basis columns are pushed through the whole operator."""
+    """Dense (nr, nc) matrix of one positioned chain, multiplied out
+    UNIT-WISE on the host: each factor's blocks hit only their own row/col
+    ranges of the accumulator, so the cost is the chain's true block flops.
+    (The first version densified every factor and ran full (out, in) GEMMs
+    — NB x the flops; at 65k that made one 16-member class chunk cost ~8
+    CPU-minutes instead of ~30 s.)"""
     cur = None
     for f in chain.factors:
         dts = [u.data.dtype for u in f.gemms] + [
             u.weights.dtype for u in f.scales]
         dt = np.result_type(*dts) if dts else np.float64
-        out = np.zeros((f.out_dim, f.in_dim), dt)
-        for u in f.gemms:
-            d = np.asarray(u.data)
-            out[u.out_off:u.out_off + d.shape[0],
-                u.in_off:u.in_off + d.shape[1]] += d
-        for u in f.scales:
-            # ScaleUnits (Identity/Diag/Perm) are scatter-scaled entries
-            out[u.out_idx, u.in_idx] += u.weights
-        cur = out if cur is None else out @ cur
+        if cur is None:
+            out = np.zeros((f.out_dim, f.in_dim), dt)
+            for u in f.gemms:
+                d = np.asarray(u.data)
+                out[u.out_off:u.out_off + d.shape[0],
+                    u.in_off:u.in_off + d.shape[1]] += d
+            for u in f.scales:
+                # ScaleUnits (Identity/Diag/Perm): scatter-scaled entries
+                out[u.out_idx, u.in_idx] += u.weights
+        else:
+            out = np.zeros((f.out_dim, cur.shape[1]),
+                           np.result_type(dt, cur.dtype))
+            for u in f.gemms:
+                d = np.asarray(u.data)
+                out[u.out_off:u.out_off + d.shape[0]] += (
+                    d @ cur[u.in_off:u.in_off + d.shape[1]])
+            for u in f.scales:
+                out[u.out_idx] += u.weights[:, None] * cur[u.in_idx]
+        cur = out
     return cur
 
 
