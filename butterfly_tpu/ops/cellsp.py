@@ -81,6 +81,8 @@ class _CellMeta:
     n_bufs: int
     T: int
     r_tile: int
+    n_bands: int
+    band_rows: int   # Hb; each band block holds Hb + GM rows (overlap)
     interpret: bool
     precision: object
 
@@ -90,22 +92,21 @@ def _cell_kernel(meta: _CellMeta, *refs):
     from jax.experimental import pallas as pl
 
     nb = meta.n_bufs
-    # prefetch refs: dst, widx, src, kind, cc_0..cc_{nb-1}
-    dst_ref, widx_ref, src_ref, kind_ref = refs[0:4]
-    cc_refs = refs[4:4 + nb]
-    del cc_refs, widx_ref  # consumed by the index maps, not the body
-    w_ref = refs[4 + nb]
-    bufs = refs[5 + nb:5 + 2 * nb]
+    # prefetch refs: band, newband, dst, widx, src, kind, cc_0..cc_{nb-1}
+    band_ref, newb_ref, dst_ref, widx_ref, src_ref, kind_ref = refs[0:6]
+    del band_ref, widx_ref  # consumed by the index maps, not the body
+    w_ref = refs[6 + nb]
+    bufs = refs[7 + nb:7 + 2 * nb]
     o_ref = refs[-1]
 
     t = pl.program_id(1)
 
-    @pl.when(t == 0)
+    @pl.when(newb_ref[t] == 1)
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    # dst is stored divided by 8 so Mosaic can statically prove the store
-    # offset is sublane-aligned (f32 sublane = 8 rows)
+    # dst is band-local and stored divided by 8 so Mosaic can statically
+    # prove the store offset is sublane-aligned (f32 sublane = 8 rows)
     d = dst_ref[t] * 8
     sb = src_ref[t]
     kind = kind_ref[t]
@@ -117,11 +118,11 @@ def _cell_kernel(meta: _CellMeta, *refs):
                 preferred_element_type=jnp.float32,
                 precision=meta.precision,
             )
-            o_ref[pl.ds(d, GM), :] += acc
+            o_ref[0, pl.ds(d, GM), :] += acc
 
         @pl.when((sb == i) & (kind == 1))
         def _(i=i):
-            o_ref[pl.ds(d, GM), :] += bufs[i][...]
+            o_ref[0, pl.ds(d, GM), :] += bufs[i][...]
 
 
 def _round_r(r_tile: int, r: int) -> int:
@@ -140,24 +141,25 @@ def _cell_call(meta: _CellMeta, r_pad: int):
 
     nb = meta.n_bufs
     rt = min(meta.r_tile, r_pad)
+    Hb = meta.band_rows
 
-    def w_map(j, t, dst, widx, src, kind, *ccs):
+    def w_map(j, t, band, newb, dst, widx, src, kind, *ccs):
         return (widx[t], 0, 0)
 
     def buf_map(i):
-        def m(j, t, dst, widx, src, kind, *ccs):
+        def m(j, t, band, newb, dst, widx, src, kind, *ccs):
             return (ccs[i][t], j)
         return m
 
-    def o_map(j, t, dst, widx, src, kind, *ccs):
-        return (0, j)
+    def o_map(j, t, band, newb, dst, widx, src, kind, *ccs):
+        return (band[t], 0, j)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4 + nb,
+        num_scalar_prefetch=6 + nb,
         grid=(r_pad // rt, meta.T),
         in_specs=[pl.BlockSpec((1, GM, GK), w_map)]
         + [pl.BlockSpec((GK, rt), buf_map(i)) for i in range(nb)],
-        out_specs=pl.BlockSpec((meta.n_out_pad, rt), o_map),
+        out_specs=pl.BlockSpec((1, Hb + GM, rt), o_map),
     )
     compiler_params = None
     if not meta.interpret:
@@ -170,16 +172,28 @@ def _cell_call(meta: _CellMeta, r_pad: int):
     return pl.pallas_call(
         functools.partial(_cell_kernel, meta),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((meta.n_out_pad, r_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (meta.n_bands, Hb + GM, r_pad), jnp.float32),
         compiler_params=compiler_params,
         interpret=meta.interpret,
     )
 
 
 def _apply_cells(meta: _CellMeta, params, bufs, r_pad: int):
-    """bufs: list of (n_i_pad, r_pad) f32 arrays (pre-padded)."""
+    """bufs: list of (n_i_pad, r_pad) f32 arrays (pre-padded). Returns the
+    folded (n_out_pad, r_pad) output."""
+    import jax.numpy as jnp
+
     call = _cell_call(meta, r_pad)
-    return call(*params, *bufs)
+    out = call(*params, *bufs)  # (n_bands, Hb + GM, r_pad)
+    Hb, nB = meta.band_rows, meta.n_bands
+    main = out[:, :Hb, :].reshape(nB * Hb, r_pad)
+    if nB > 1:
+        # fold each band's GM-row overlap tail into the next band's head
+        idx = ((jnp.arange(1, nB)[:, None]) * Hb
+               + jnp.arange(GM)[None, :]).reshape(-1)
+        main = main.at[idx].add(out[:-1, Hb:, :].reshape(-1, r_pad))
+    return main[: meta.n_out_pad]
 
 
 class CellPlan:
@@ -208,6 +222,16 @@ class CellPlan:
         # member windows may also overhang the true output end
         n_out_pad = -(-(max([n_out] + [c.dst for c in cells]) + GM)
                       // GM) * GM
+        if r_tile is None:
+            r_tile = 512
+        # output BANDS: the resident band block is (Hb + GM, r_tile) f32;
+        # bands overlap by GM rows so a cell never splits, and the overlap
+        # tails fold into the next band after the kernel. One band when the
+        # whole output fits the budget (the common case).
+        Hb = max(GM, (_OUT_BUDGET_BYTES // (r_tile * 4) - GM) // GM * GM)
+        if n_out_pad <= Hb:
+            Hb = n_out_pad
+        n_bands = -(-n_out_pad // Hb)
         self.buf_rows = list(buf_rows)
         self.buf_rows_pad = [-(-b // GK) * GK for b in buf_rows]
         nb = len(buf_rows)
@@ -230,12 +254,26 @@ class CellPlan:
                 out.append(c)
         cells = out
 
-        # sort by (src_buf, src_blk) => each buffer's tiles stream in order
-        # and consecutive same-tile cells are fetched once
-        order = sorted(range(len(cells)),
-                       key=lambda i: (cells[i].src_buf, cells[i].src_blk))
+        # every band needs at least one cell (its first cell zero-inits the
+        # resident block); give empty bands a zero filler
+        covered = {min(c.dst // Hb, n_bands - 1) for c in cells}
+        for b in range(n_bands):
+            if b not in covered:
+                cells.append(Cell(dst=b * Hb, src_buf=0, src_blk=0,
+                                  w=np.zeros((GM, GK), np.float32)))
+
+        # sort by (band, src_buf, src_blk) => bands are contiguous grid
+        # runs (each output block is visited once) and within a band each
+        # buffer's tiles stream in order, so consecutive same-tile cells
+        # are fetched once
+        order = sorted(
+            range(len(cells)),
+            key=lambda i: (min(cells[i].dst // Hb, n_bands - 1),
+                           cells[i].src_buf, cells[i].src_blk))
         cells = [cells[i] for i in order]
         T = len(cells)
+        band = np.empty(T, np.int32)
+        newb = np.empty(T, np.int32)
         dst = np.empty(T, np.int32)
         src = np.empty(T, np.int32)
         kind = np.empty(T, np.int32)
@@ -254,7 +292,12 @@ class CellPlan:
             check(
                 (c.src_blk + 1) * GK <= self.buf_rows_pad[c.src_buf],
                 "cell src_blk beyond padded buffer", InvalidArgumentsError)
-            dst[t] = c.dst // 8  # kernel multiplies back (alignment proof)
+            b_ = min(c.dst // Hb, n_bands - 1)
+            band[t] = b_
+            newb[t] = 1 if (t == 0 or band[t - 1] != b_) else 0
+            # band-local dst, divided by 8 (kernel multiplies back so
+            # Mosaic can prove sublane alignment)
+            dst[t] = (c.dst - b_ * Hb) // 8
             src[t] = c.src_buf
             if c.w is None:
                 kind[t] = 1
@@ -296,16 +339,9 @@ class CellPlan:
                   "dev tile index out of range", InvalidArgumentsError)
             widx[t] = stack_base[sid] + tidx
 
-        if r_tile is None:
-            r_tile = 512
-            while r_tile > 128 and n_out_pad * r_tile * 4 > _OUT_BUDGET_BYTES:
-                r_tile //= 2
-        check(n_out_pad * r_tile * 4 <= 2 * _OUT_BUDGET_BYTES,
-              f"output band {n_out_pad}x{r_tile} exceeds the VMEM budget; "
-              "shard the operator or lower r_tile", InvalidArgumentsError)
-
         self._meta = _CellMeta(
             n_out_pad=n_out_pad, n_bufs=nb, T=T, r_tile=r_tile,
+            n_bands=n_bands, band_rows=Hb,
             interpret=interpret, precision=prec,
         )
         Wd = jnp.asarray(Wh)
@@ -313,6 +349,7 @@ class CellPlan:
             Wd = jnp.concatenate(
                 [Wd] + [s.astype(jnp.float32) for s in dev_tiles], axis=0)
         self.params = (
+            jnp.asarray(band), jnp.asarray(newb),
             jnp.asarray(dst), jnp.asarray(widx), jnp.asarray(src),
             jnp.asarray(kind),
         ) + tuple(jnp.asarray(ccs[i]) for i in range(nb)) + (
