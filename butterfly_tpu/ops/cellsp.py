@@ -53,6 +53,11 @@ _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 # resident-output budget: leave room for weight/x double buffering and the
 # possibility of Mosaic holding two output windows across an r-tile flush
 _OUT_BUDGET_BYTES = 40 * 1024 * 1024
+# scalar-prefetch arrays live in SMEM (1 MB per core); budget half of it,
+# counted in int32 elements across the (6 + n_bufs) per-cell arrays — a
+# kernel over the full 65k plan (140k cells) wanted 3.8 MB of SMEM, so the
+# plan splits into per-band-group SEGMENTS under this cap
+_SEG_CELL_CAP = (512 * 1024) // 4
 
 
 @dataclasses.dataclass
@@ -179,13 +184,18 @@ def _cell_call(meta: _CellMeta, r_pad: int):
     )
 
 
-def _apply_cells(meta: _CellMeta, params, bufs, r_pad: int):
-    """bufs: list of (n_i_pad, r_pad) f32 arrays (pre-padded). Returns the
-    folded (n_out_pad, r_pad) output."""
+def _apply_cells(seg_metas, meta: _CellMeta, params, bufs, r_pad: int):
+    """bufs: list of (n_i_pad, r_pad) f32 arrays (pre-padded). Runs one
+    kernel per segment (shared weight stack), concatenates the band
+    outputs, folds the overlaps, and returns (n_out_pad, r_pad)."""
     import jax.numpy as jnp
 
-    call = _cell_call(meta, r_pad)
-    out = call(*params, *bufs)  # (n_bands, Hb + GM, r_pad)
+    W = params["W"]
+    outs = []
+    for meta_s, seg in zip(seg_metas, params["segs"]):
+        call = _cell_call(meta_s, r_pad)
+        outs.append(call(*seg, W, *bufs))  # (n_bands_s, Hb + GM, r_pad)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     Hb, nB = meta.band_rows, meta.n_bands
     main = out[:, :Hb, :].reshape(nB * Hb, r_pad)
     if nB > 1:
@@ -224,14 +234,6 @@ class CellPlan:
                       // GM) * GM
         if r_tile is None:
             r_tile = 512
-        # output BANDS: the resident band block is (Hb + GM, r_tile) f32;
-        # bands overlap by GM rows so a cell never splits, and the overlap
-        # tails fold into the next band after the kernel. One band when the
-        # whole output fits the budget (the common case).
-        Hb = max(GM, (_OUT_BUDGET_BYTES // (r_tile * 4) - GM) // GM * GM)
-        if n_out_pad <= Hb:
-            Hb = n_out_pad
-        n_bands = -(-n_out_pad // Hb)
         self.buf_rows = list(buf_rows)
         self.buf_rows_pad = [-(-b // GK) * GK for b in buf_rows]
         nb = len(buf_rows)
@@ -253,6 +255,28 @@ class CellPlan:
                 merged[key] = len(out)
                 out.append(c)
         cells = out
+
+        # ---- output bands ------------------------------------------------
+        # The resident band block is (Hb + GM, r_tile) f32; bands overlap
+        # by GM rows so a cell never splits, and the overlap tails fold
+        # into the next band after the kernel. Hb is bounded by BOTH the
+        # VMEM budget and — via halving until no band holds more than
+        # _SEG_CELL_CAP cells — the 1 MB SMEM that holds the scalar-
+        # prefetch arrays (a 65k Helmholtz plan has 140k cells; one kernel
+        # with all of them wanted 3.8 MB of SMEM).
+        cap = max(GM, (_OUT_BUDGET_BYTES // (r_tile * 4) - GM) // GM * GM)
+        Hb = min(cap, n_out_pad)
+        seg_cap = _SEG_CELL_CAP // (6 + nb)
+        while Hb > GM:
+            counts: dict = {}
+            nbands_try = -(-n_out_pad // Hb)
+            for c in cells:
+                b_ = min(c.dst // Hb, nbands_try - 1)
+                counts[b_] = counts.get(b_, 0) + 1
+            if max(counts.values()) <= seg_cap:
+                break
+            Hb = max(GM, (Hb // 2) // GM * GM)
+        n_bands = -(-n_out_pad // Hb)
 
         # every band needs at least one cell (its first cell zero-inits the
         # resident block); give empty bands a zero filler
@@ -339,6 +363,42 @@ class CellPlan:
                   "dev tile index out of range", InvalidArgumentsError)
             widx[t] = stack_base[sid] + tidx
 
+        # ---- segments: consecutive band groups, each its own kernel call
+        # with its own (SMEM-bounded) prefetch arrays; all segments share
+        # the weight stack and their band outputs concatenate before the
+        # overlap fold
+        band_ranges = []  # per-band [t_start, t_end) in the sorted order
+        t = 0
+        for b in range(n_bands):
+            ts = t
+            while t < T and int(band[t]) == b:
+                t += 1
+            band_ranges.append((ts, t))  # non-empty (fillers guarantee)
+        seg_bounds = []  # (t0, t1, b0, b1) half-open
+        s0, bseg0, count = 0, 0, 0
+        for b, (ts, te) in enumerate(band_ranges):
+            if count and count + (te - ts) > seg_cap:
+                seg_bounds.append((s0, ts, bseg0, b))
+                s0, bseg0, count = ts, b, 0
+            count += te - ts
+        seg_bounds.append((s0, T, bseg0, n_bands))
+        self._seg_metas = []
+        seg_params = []
+        for (s0, s1, bb0, bb1) in seg_bounds:
+            Ts = s1 - s0
+            self._seg_metas.append(_CellMeta(
+                n_out_pad=n_out_pad, n_bufs=nb, T=Ts, r_tile=r_tile,
+                n_bands=bb1 - bb0, band_rows=Hb,
+                interpret=interpret, precision=prec,
+            ))
+            nb_arr = newb[s0:s1].copy()
+            nb_arr[0] = 1
+            seg_params.append((
+                jnp.asarray(band[s0:s1] - bb0), jnp.asarray(nb_arr),
+                jnp.asarray(dst[s0:s1]), jnp.asarray(widx[s0:s1]),
+                jnp.asarray(src[s0:s1]), jnp.asarray(kind[s0:s1]),
+            ) + tuple(jnp.asarray(ccs[i, s0:s1]) for i in range(nb)))
+
         self._meta = _CellMeta(
             n_out_pad=n_out_pad, n_bufs=nb, T=T, r_tile=r_tile,
             n_bands=n_bands, band_rows=Hb,
@@ -348,14 +408,9 @@ class CellPlan:
         if dev_tiles:
             Wd = jnp.concatenate(
                 [Wd] + [s.astype(jnp.float32) for s in dev_tiles], axis=0)
-        self.params = (
-            jnp.asarray(band), jnp.asarray(newb),
-            jnp.asarray(dst), jnp.asarray(widx), jnp.asarray(src),
-            jnp.asarray(kind),
-        ) + tuple(jnp.asarray(ccs[i]) for i in range(nb)) + (
-            Wd,
-        )
+        self.params = {"W": Wd, "segs": seg_params}
         self.num_cells = T
+        self.num_segments = len(seg_bounds)
         self.num_matmul_cells = len(wlist) + len(dev_refs)
         self._nbytes = int(Wd.shape[0]) * GM * GK * 4
 
@@ -364,7 +419,8 @@ class CellPlan:
     def apply_padded(self, params, bufs, r_pad: int):
         """bufs already padded to (buf_rows_pad[i], r_pad); returns the
         padded output (n_out_pad, r_pad). Jit-friendly."""
-        return _apply_cells(self._meta, params, bufs, r_pad)
+        return _apply_cells(self._seg_metas, self._meta, params, bufs,
+                            r_pad)
 
     def pad_rows(self, i: int, buf):
         import jax.numpy as jnp

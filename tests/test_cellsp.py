@@ -112,3 +112,32 @@ def test_cell_plan_add_cells_and_multibuf(rng):
     want[264:264 + 128] += tbuf[0:128]
     rel = np.linalg.norm(y - want) / np.linalg.norm(want)
     assert rel < 1e-5
+
+
+def test_cell_plan_segments(rng):
+    """Force tiny SMEM segments: multiple kernel calls share the weight
+    stack and their band outputs concatenate + fold correctly."""
+    from butterfly_tpu.ops import cellsp as m
+
+    n_out, n_in = 2048, 512
+    cells = []
+    for _ in range(30):
+        i0 = int(rng.integers(0, (n_out - 200) // 2)) * 2
+        j0 = int(rng.integers(0, (n_in - 140) // 2)) * 2
+        W = rng.standard_normal((100, 100)).astype(np.float32) / 8
+        cells_from_dense_block(W, i0, j0, cells)
+    ref_plan = CellPlan(n_out, [n_in], list(cells), precision="highest")
+    old_b, old_c = m._OUT_BUDGET_BYTES, m._SEG_CELL_CAP
+    m._OUT_BUDGET_BYTES = 1 << 20
+    m._SEG_CELL_CAP = 10 * 7  # ~10 cells/segment at nb=1
+    try:
+        seg_plan = CellPlan(n_out, [n_in], list(cells), r_tile=512,
+                            precision="highest")
+    finally:
+        m._OUT_BUDGET_BYTES, m._SEG_CELL_CAP = old_b, old_c
+    assert seg_plan.num_segments > 1
+    x = rng.standard_normal((n_in, 8)).astype(np.float32)
+    y_ref = np.asarray(ref_plan.apply([x]))
+    y_seg = np.asarray(seg_plan.apply([x]))
+    rel = np.linalg.norm(y_seg - y_ref) / max(np.linalg.norm(y_ref), 1e-30)
+    assert rel < 1e-6, f"segmented cell plan rel {rel:.2e}"
