@@ -447,6 +447,7 @@ class PartitionPlan:
             self._cells1 = CellPlan(self.t_rows, [buf0_rows], cells1,
                                     r_tile=rt, precision="highest",
                                     dev_tiles=dev_tiles1)
+            dev_tiles1.clear()  # stacks now live in the plan's weight array
             self._flops += self._cells1.flops_per_col()
             self._nbytes += self._cells1.nbytes()
         if not cells2:
@@ -455,6 +456,7 @@ class PartitionPlan:
         self._cells2 = CellPlan(self.n2, [buf0_rows, self.t_rows], cells2,
                                 r_tile=rt, precision="highest",
                                 dev_tiles=dev_tiles2)
+        dev_tiles2.clear()
         self._flops += self._cells2.flops_per_col()
         self._nbytes += self._cells2.nbytes()
         log_info("partition: pass1 %d cells, pass2 %d cells (%d dense), "
@@ -539,14 +541,27 @@ class PartitionPlan:
     def apply_device(self, x):
         """Full apply as device arrays: the tiled-cell jit plus each
         oversized block's own stage plan (composed at the Python level —
-        dispatches pipeline; only the final consumer synchronizes)."""
+        dispatches pipeline; only the final consumer synchronizes).
+
+        Dispatch is THROTTLED: PJRT allocates every enqueued computation's
+        output buffers immediately, so dispatching all mega sub-applies at
+        once allocates every gather copy + stage buffer up front (166
+        megas at 65k OOMed a 16 GB chip whose resident weights were
+        12.7 GB). A block_until_ready every ~1 GB of estimated in-flight
+        buffers bounds the peak at a few sync round trips per apply."""
+        import jax
         import jax.numpy as jnp
 
         x = jnp.asarray(x)
         y = self._apply_jit(self.params, x)
+        inflight = 0
         for sp, in_idx, out_idx in self._mega:
             ys = sp._apply_jit(sp._params, self._gather(x, in_idx))
             y = self._scatter_add(y, out_idx, ys)
+            inflight += 6 * in_idx.size * x.shape[1] * 4
+            if inflight > (1 << 30):
+                y = jax.block_until_ready(y)
+                inflight = 0
         return y
 
     def apply(self, x):

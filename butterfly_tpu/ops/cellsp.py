@@ -408,6 +408,7 @@ class CellPlan:
         if dev_tiles:
             Wd = jnp.concatenate(
                 [Wd] + [s.astype(jnp.float32) for s in dev_tiles], axis=0)
+            dev_tiles.clear()  # free the pre-concat stacks (HBM transient)
         self.params = {"W": Wd, "segs": seg_params}
         self.num_cells = T
         self.num_segments = len(seg_bounds)
