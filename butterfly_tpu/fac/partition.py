@@ -476,8 +476,13 @@ class PartitionPlan:
                       "oversized block lost its source operator")
                 sub = (c.src if c.src_scale == 1.0
                        else _Scaled(c.src_scale, c.src))
+                # block_align 32: mega chains have ragged ranks ~20-80, and
+                # 128-padding inflated one mega's stage buffers past the
+                # HBM left next to the 12.7 GB of resident 65k weights
+                # (RESOURCE_EXHAUSTED inside a single sub-apply). Smaller
+                # tiles cost some MXU efficiency on a small flop fraction.
                 sp = pack(sub, real_embed=True if self._complex else None,
-                          precision="highest")
+                          precision="highest", block_align=32)
                 nr_c, nc_c = sub.shape
                 if self._complex:
                     # interleaved global index <-> the sub-plan's stacked
