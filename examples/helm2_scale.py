@@ -164,12 +164,13 @@ def main() -> None:
                     default=[16384, 65536])
     ap.add_argument("--ppw", type=float, default=64.0)
     ap.add_argument("--leaf", type=int, default=64)
+    ap.add_argument("--queries", type=int, default=64)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     rows = []
     for n in args.sizes:
-        rows.append(run_one(n, args.ppw, args.leaf))
+        rows.append(run_one(n, args.ppw, args.leaf, queries=args.queries))
         print(json.dumps(rows[-1]), flush=True)
         if args.out:
             with open(args.out, "w") as f:
