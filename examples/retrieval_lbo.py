@@ -445,18 +445,21 @@ def run_config1m(args, jax, jnp, compress_table, recall_at_k) -> None:
         _, i2 = jax.lax.top_k(s2, 100)
         return jnp.take_along_axis(cand, i2, axis=1)
 
-    def step_rr(ct_, Qc):
-        idx_ = rerank_idx(ct_, Phi_dev, Qc)
+    def step_rr(ct_, P, Qc):
+        # P passed as an argument: closing over the 537 MB table bakes it
+        # into the program as a constant (remote compile rejected the
+        # request body outright)
+        idx_ = rerank_idx(ct_, P, Qc)
         return Qc * (1.0 + 1e-30 * jnp.sum(idx_.astype(jnp.float32)))
 
     jrr = jax.jit(step_rr)
-    float(_summ(jrr(ct, Qd)))
+    float(_summ(jrr(ct, Phi_dev, Qd)))
 
     def run_rr(k):
         cur = Qd
         t0 = time.perf_counter()
         for _ in range(int(k)):
-            cur = jrr(ct, cur)
+            cur = jrr(ct, Phi_dev, cur)
         float(_summ(cur))
         return time.perf_counter() - t0
 
