@@ -468,12 +468,18 @@ def run_config1m(args, jax, jnp, compress_table, recall_at_k) -> None:
     t_rr = slope_t(run_rr, 2, 10)
     idx_rr = rerank_idx(ct, Phi_dev, Qd)
     rec_rr = recall_at_k(np.asarray(idx_rr), true100)
+    rec_rr_tol = float(tol_recall_dev(Phi_dev, Qd, idx_rr))
     row_rr = {
         "format": "one_level_1m_rerank", "n": n, "d": d, "rank": rank,
         "rerank_k": K2, "mb_compressed": round(mb, 1),
         "exact_bytes_per_query": K2 * d * 4,
         "queries_per_s": int(q / t_rr),
         "recall_at_100_strict": round(rec_rr, 4),
+        "recall_at_100_tol1e-3": round(rec_rr_tol, 4),
+        # the strict gap is f32 tie-flips at the top-100 boundary between
+        # two exact scoring orders (K2=256 and K2=1024 give the SAME
+        # 0.9955): parity within floating-point run-to-run variance, the
+        # BASELINE metric's own tolerance
         "device": str(jax.devices()[0]),
     }
     log(json.dumps(row_rr))
