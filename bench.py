@@ -179,6 +179,13 @@ def emit(tag, final=False):
                 "met by the REAL streamed fac at f32-HIGHEST "
                 f"(rel {ex['real_fac_rel_err']:.1e})"
             )
+        if (ex.get("helm2_rel_err", 1.0) <= 1e-6
+                and ex.get("helm2_sol_frac", 0.0) >= 0.5):
+            clauses["helm2_accuracy_and_sol"] = (
+                "the multilevel Helmholtz partition apply meets BOTH "
+                f"clauses at once: rel {ex['helm2_rel_err']:.1e} <= 1e-6 "
+                f"at {ex['helm2_sol_frac']:.2f} of speed of light"
+            )
         ex["clauses"] = clauses
         if state["best_bf16"] > 0 and state["peak_bf16"] > 0:
             result = {
