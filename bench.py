@@ -573,7 +573,10 @@ def main() -> None:
             y = fnD(params, cur)
             return cur + 1e-30 * jnp.sum(y)  # rectangular: fold back
 
-        t_D = slope(chain_timer(step_D, fp.plan._params, xD), 8, 56)
+        # long chains: at ~0.25 ms/iter this section showed 20% run-to-run
+        # spread with 48-iter deltas; 200 iters put the device delta at
+        # ~50 ms+ and in line with the other sections' <2% agreement
+        t_D = slope(chain_timer(step_D, fp.plan._params, xD), 16, 216)
         flops_D = fp.flops_per_col() * rD
         tflops_D = flops_D / t_D / 1e12
         frac_D = op_sol_frac("real_fac", flops_D, fp.nbytes(),
