@@ -153,6 +153,7 @@ class PartitionPlan:
                  batch_budget_bytes: int = 1 << 30,
                  workers: int = 2,
                  dense_materialize_limit_bytes: int = 6 << 30,
+                 mega_resident_bytes: int | None = None,
                  # accepted for backward compatibility with r4 callers
                  distill_tol=None, dense_tiles=None,
                  materialize_chunk=None):
@@ -465,6 +466,27 @@ class PartitionPlan:
                  self._nbytes / 1e6)
 
         # ---- oversized butterfly blocks: one packed stage plan each ------
+        # Mega weights compete with the resident cell weights for HBM: at
+        # 65k the cells take 9.6 GB and the ~166 mega stage plans another
+        # ~3 GB, which exhausted a 16 GB v5e (r4). Plans are therefore
+        # built with HOST-resident params and then the LARGEST are pinned
+        # to the device until `mega_resident_bytes` is spent; the rest
+        # stream H2D per apply (~12 ms per 18 MB plan at 1.5 GB/s).
+        if mega_resident_bytes is None:
+            lim = 0
+            try:
+                ms = jax.devices()[0].memory_stats() or {}
+                lim = int(ms.get("bytes_limit", 0))
+            except Exception:
+                lim = 0
+            if lim:
+                # leave ~3 GB of transient headroom (gather copies + stage
+                # buffers + the cell passes' activations)
+                mega_resident_bytes = max(
+                    0, int(0.92 * lim) - self._nbytes - (3 << 30))
+            else:
+                mega_resident_bytes = 1 << 62  # cpu/unknown: pin everything
+        self.mega_streamed_bytes = 0
         self._mega = []
         if mega_blks:
             from butterfly_tpu.ops.linop import Scaled as _Scaled
@@ -482,7 +504,8 @@ class PartitionPlan:
                 # (RESOURCE_EXHAUSTED inside a single sub-apply). Smaller
                 # tiles cost some MXU efficiency on a small flop fraction.
                 sp = pack(sub, real_embed=True if self._complex else None,
-                          precision="highest", block_align=32)
+                          precision="highest", block_align=32,
+                          params_on_host=True)
                 nr_c, nc_c = sub.shape
                 if self._complex:
                     # interleaved global index <-> the sub-plan's stacked
@@ -500,6 +523,23 @@ class PartitionPlan:
                                    jnp.asarray(out_idx, jnp.int32)))
                 self._flops += 2 * sp.stats.padded_flops_per_col
                 self._nbytes += sp.stats.weight_bytes
+
+            # pin the largest sub-plans until the resident budget is spent
+            resident = 0
+            for sp, _, _ in sorted(
+                    self._mega, key=lambda m: m[0].stats.weight_bytes,
+                    reverse=True):
+                wb = sp.stats.weight_bytes
+                if resident + wb <= mega_resident_bytes:
+                    sp.pin_params()
+                    resident += wb
+                else:
+                    self.mega_streamed_bytes += wb
+            if self.mega_streamed_bytes:
+                log_info("partition: mega weights %0.f MB resident, "
+                         "%.0f MB streamed per apply (budget %.1f GB)",
+                         resident / 1e6, self.mega_streamed_bytes / 1e6,
+                         mega_resident_bytes / 1e9)
 
         self.params = {
             "p1": self._cells1.params if self._cells1 is not None else None,
@@ -564,6 +604,9 @@ class PartitionPlan:
             ys = sp._apply_jit(sp._params, self._gather(x, in_idx))
             y = self._scatter_add(y, out_idx, ys)
             inflight += 6 * in_idx.size * x.shape[1] * 4
+            if sp._params_on_host:
+                # streamed weights + index tables transfer per call
+                inflight += 2 * sp.stats.weight_bytes
             if inflight > (1 << 30):
                 y = jax.block_until_ready(y)
                 inflight = 0

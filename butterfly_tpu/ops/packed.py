@@ -351,7 +351,19 @@ class StagePlan:
     def __init__(self, op: L.LinOp, dtype=None, block_align: int = 128,
                  real_embed: bool | None = None,
                  precision: str | None = "highest",
-                 tiling: str = "uniform"):
+                 tiling: str = "uniform",
+                 params_on_host: bool = False):
+        # params_on_host: keep weights + index tables as HOST numpy arrays.
+        # Each jitted apply then streams them H2D per call (they are jit
+        # ARGUMENTS, so no retrace) and XLA frees the transfer buffers when
+        # the call's consumers finish — resident HBM cost is ~one plan's
+        # weights at a time instead of all plans at once. Used by the
+        # partition apply's oversized-block sub-plans at 65k+ points, whose
+        # combined weights (~3 GB) plus the resident cell weights (9.6 GB)
+        # exhausted a 16 GB v5e. H2D on this box moves ~1.5 GB/s, so a
+        # streamed mega costs ~12 ms/apply per 18 MB plan.
+        self._params_on_host = bool(params_on_host)
+        _dev = (np.asarray if params_on_host else jnp.asarray)
         m, n = op.shape
         # Packed plans serve the ACCURACY-critical factorized-operator path
         # (the throughput flagship is the uniform butterfly kernel), and they
@@ -518,7 +530,7 @@ class StagePlan:
             padded += 2 * B * mp * kp
             weight_bytes += W.nbytes
             self._gemm_buckets.append(
-                _GemmBucket(jnp.asarray(W), in_start, out_start, mms, kks,
+                _GemmBucket(_dev(W), in_start, out_start, mms, kks,
                             t, wb, fl)
             )
         for (t, wb), units in sorted(scale_groups.items()):
@@ -527,7 +539,7 @@ class StagePlan:
             oix = np.concatenate([np.asarray(o) for _, _, o in units])
             self._scale_buckets.append(
                 _ScaleBucket(
-                    jnp.asarray(wts.astype(self.dtype)),
+                    _dev(wts.astype(self.dtype)),
                     iix.astype(np.int64), oix.astype(np.int64), t, wb,
                 )
             )
@@ -640,7 +652,7 @@ class StagePlan:
             out_tab = None
             if -1 in wmap:
                 rids, coords = wmap[-1]
-                out_tab = jnp.asarray(_build_map(
+                out_tab = _dev(_build_map(
                     rids, coords, self.out_size, zero_id).astype(np.int32))
             # next stage's unrolled read table (composed through this
             # stage's write map over buffer t+1's logical coordinates)
@@ -654,7 +666,7 @@ class StagePlan:
                 ok = (rc >= 0) & (rc < size)
                 F = np.full((rc.size, M.shape[1]), zero_id, dtype=np.int64)
                 F[ok] = M[rc[ok]]
-                next_tab = jnp.asarray(F.astype(np.int32))
+                next_tab = _dev(F.astype(np.int32))
             stage_params.append((Ws, ws, out_tab, next_tab))
 
         # stage-0 input table: unrolled read layout straight from x (whose
@@ -662,7 +674,7 @@ class StagePlan:
         n_in = self.buf_sizes[0]
         rc0 = read_coords[0] if num_stages else np.zeros(0, np.int64)
         idx0 = np.where((rc0 >= 0) & (rc0 < n_in), rc0, n_in)
-        self._params = (jnp.asarray(idx0.astype(np.int32)), stage_params)
+        self._params = (_dev(idx0.astype(np.int32)), stage_params)
 
         meta = _PlanMeta(
             num_stages=num_stages,
@@ -674,6 +686,25 @@ class StagePlan:
         self._apply_jit = jax.jit(partial(_apply_plan, meta))
 
     # -- application ----------------------------------------------------
+
+    def pin_params(self):
+        """Upload host-resident params to the device in place — the undo of
+        params_on_host, for plans the caller's HBM budget can keep resident
+        (the partition apply pins the largest sub-plans first to minimize
+        per-apply streaming)."""
+        if not self._params_on_host:
+            return
+        put = jax.device_put
+        idx0, stage_params = self._params
+        sp2 = []
+        for Ws, ws, out_tab, next_tab in stage_params:
+            sp2.append((
+                [put(W) for W in Ws], [put(w) for w in ws],
+                None if out_tab is None else put(out_tab),
+                None if next_tab is None else put(next_tab),
+            ))
+        self._params = (put(idx0), sp2)
+        self._params_on_host = False
 
     def __call__(self, x):
         """Apply to (n,) or (n, r); jit-compiled, cached per input shape."""
@@ -815,8 +846,9 @@ def _apply_plan(meta: _PlanMeta, params, x: jnp.ndarray) -> jnp.ndarray:
 def pack(op: L.LinOp, dtype=None, block_align: int = 128,
          real_embed: bool | None = None,
          precision: str | None = "highest",
-         tiling: str = "uniform") -> StagePlan:
+         tiling: str = "uniform",
+         params_on_host: bool = False) -> StagePlan:
     """Compile a LinOp into its packed device plan."""
     return StagePlan(op, dtype=dtype, block_align=block_align,
                      real_embed=real_embed, precision=precision,
-                     tiling=tiling)
+                     tiling=tiling, params_on_host=params_on_host)

@@ -80,6 +80,7 @@ def run_one(n: int, ppw: float, leaf: int, queries: int = 64):
     rec["dense_mb"] = round(n * n * 16 / 1e6, 1)
     rec["compression_ratio"] = round(plan.nbytes() / (n * n * 16), 4)
     rec["num_mega_blocks"] = len(plan._mega)
+    rec["mega_streamed_mb"] = round(plan.mega_streamed_bytes / 1e6, 1)
     log(f"  plan: {rec['setup_plan_s']} s, {rec['weights_mb']} MB "
         f"({rec['compression_ratio']:.4f} of dense c128)")
 
