@@ -473,19 +473,30 @@ class PartitionPlan:
         # to the device until `mega_resident_bytes` is spent; the rest
         # stream H2D per apply (~12 ms per 18 MB plan at 1.5 GB/s).
         if mega_resident_bytes is None:
+            dev = jax.devices()[0]
             lim = 0
             try:
-                ms = jax.devices()[0].memory_stats() or {}
+                ms = dev.memory_stats() or {}
                 lim = int(ms.get("bytes_limit", 0))
             except Exception:
                 lim = 0
+            if not lim and dev.platform == "tpu":
+                # memory_stats() is None on this box's TPU backend — infer
+                # HBM from the device kind (conservative: v5e = 16 GB)
+                kind = getattr(dev, "device_kind", "").lower()
+                hbm = {"v4": 32, "v5p": 95, "v6": 32}.get(
+                    next((g for g in ("v5p", "v4", "v6") if g in kind),
+                         None), 16)
+                lim = hbm << 30
             if lim:
-                # leave ~3 GB of transient headroom (gather copies + stage
-                # buffers + the cell passes' activations)
+                # leave ~3.5 GB of transient headroom (gather copies +
+                # stage buffers + the cell passes' activations + backend
+                # reserve — r4's OOM at 12.7 GB resident suggests usable
+                # HBM is closer to 13.5 GB than the nominal 16)
                 mega_resident_bytes = max(
-                    0, int(0.92 * lim) - self._nbytes - (3 << 30))
+                    0, int(0.92 * lim) - self._nbytes - (3500 << 20))
             else:
-                mega_resident_bytes = 1 << 62  # cpu/unknown: pin everything
+                mega_resident_bytes = 1 << 62  # cpu/host: pin everything
         self.mega_streamed_bytes = 0
         self._mega = []
         if mega_blks:
