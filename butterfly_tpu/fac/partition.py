@@ -535,19 +535,29 @@ class PartitionPlan:
                 self._flops += 2 * sp.stats.padded_flops_per_col
                 self._nbytes += sp.stats.weight_bytes
 
-            # pin the largest sub-plans until the resident budget is spent
+            # pin the largest sub-plans until the resident budget is spent.
+            # The budget is an ESTIMATE (memory_stats is unavailable here
+            # and the allocator fragments after the class factorizations),
+            # so a failed upload is not fatal: that plan stays
+            # host-streamed and pinning continues with the smaller ones.
             resident = 0
             for sp, _, _ in sorted(
                     self._mega, key=lambda m: m[0].stats.weight_bytes,
                     reverse=True):
                 wb = sp.stats.weight_bytes
                 if resident + wb <= mega_resident_bytes:
-                    sp.pin_params()
-                    resident += wb
-                else:
-                    self.mega_streamed_bytes += wb
+                    try:
+                        sp.pin_params()
+                        resident += wb
+                        continue
+                    except Exception as e:  # noqa: BLE001 - RESOURCE_EXHAUSTED
+                        log_info("partition: pin failed (%s); streaming "
+                                 "this and shrinking the budget",
+                                 str(e).splitlines()[0][:60])
+                        mega_resident_bytes = resident + wb // 2
+                self.mega_streamed_bytes += wb
             if self.mega_streamed_bytes:
-                log_info("partition: mega weights %0.f MB resident, "
+                log_info("partition: mega weights %.0f MB resident, "
                          "%.0f MB streamed per apply (budget %.1f GB)",
                          resident / 1e6, self.mega_streamed_bytes / 1e6,
                          mega_resident_bytes / 1e9)
@@ -625,6 +635,16 @@ class PartitionPlan:
 
     def apply(self, x):
         return self.apply_device(x)
+
+    def unpin_megas(self):
+        """Demote every pinned oversized-block sub-plan back to host
+        streaming — the recovery path when the APPLY's transient buffers
+        OOM next to the pinned weights (callers catch RESOURCE_EXHAUSTED
+        from the first apply and retry after this)."""
+        for sp, _, _ in self._mega:
+            if not sp._params_on_host:
+                self.mega_streamed_bytes += sp.stats.weight_bytes
+            sp.unpin_params()
 
     def apply_complex(self, Z):
         """Complex (n, r) in, complex (n, r) out (host convenience)."""

@@ -691,7 +691,10 @@ class StagePlan:
         """Upload host-resident params to the device in place — the undo of
         params_on_host, for plans the caller's HBM budget can keep resident
         (the partition apply pins the largest sub-plans first to minimize
-        per-apply streaming)."""
+        per-apply streaming). The host params are kept so unpin_params()
+        can release the device copies again (HBM budgets are estimates;
+        callers catch RESOURCE_EXHAUSTED here and fall back to streaming).
+        On failure self._params is untouched (host arrays throughout)."""
         if not self._params_on_host:
             return
         put = jax.device_put
@@ -703,8 +706,18 @@ class StagePlan:
                 None if out_tab is None else put(out_tab),
                 None if next_tab is None else put(next_tab),
             ))
+        self._host_params = self._params
         self._params = (put(idx0), sp2)
         self._params_on_host = False
+
+    def unpin_params(self):
+        """Release pinned device params back to host-resident streaming
+        (only for plans originally built with params_on_host)."""
+        host = getattr(self, "_host_params", None)
+        if self._params_on_host or host is None:
+            return
+        self._params = host
+        self._params_on_host = True
 
     def __call__(self, x):
         """Apply to (n,) or (n, r); jit-compiled, cached per input shape."""

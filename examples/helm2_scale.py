@@ -93,7 +93,15 @@ def run_one(n: int, ppw: float, leaf: int, queries: int = 64):
     def step(c):
         return normz(plan.apply_device(c))
 
-    float(summ(step(x0)))
+    try:
+        float(summ(step(x0)))
+    except Exception as e:  # RESOURCE_EXHAUSTED: apply transients do not
+        # fit next to the pinned mega weights — stream them all instead
+        log(f"  warmup apply failed ({str(e).splitlines()[0][:60]}); "
+            "unpinning mega weights and retrying")
+        plan.unpin_megas()
+        rec["mega_streamed_mb"] = round(plan.mega_streamed_bytes / 1e6, 1)
+        float(summ(step(x0)))
 
     def rep(K):
         cur = x0
